@@ -1,0 +1,102 @@
+"""Batched Hamming distance over packed binary descriptors.
+
+TPU-native replacement for the reference's bit-twiddling
+DescriptorDistance (src/Algorithm/Matcher.cpp:30-43, the
+Stanford-bithacks popcount) and the descriptor-matching loops built on
+it (SearchByBoW :196-292, CheckFrameDescriptors :45-84).
+
+Descriptors are uint32[8] words (256 bits).  popcount runs as the
+classic SWAR reduction on the VPU's integer lanes; a full N x M
+distance matrix is one broadcasted XOR + popcount + sum — the batch
+replaces the reference's per-pair function calls.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def popcount_u32(v: jnp.ndarray) -> jnp.ndarray:
+    """Per-lane population count of a uint32 tensor (SWAR)."""
+    v = v - ((v >> 1) & jnp.uint32(0x55555555))
+    v = (v & jnp.uint32(0x33333333)) + ((v >> 2) & jnp.uint32(0x33333333))
+    v = (v + (v >> 4)) & jnp.uint32(0x0F0F0F0F)
+    return (v * jnp.uint32(0x01010101)) >> 24
+
+
+def hamming_distance(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise Hamming distance of packed descriptors.
+
+    a, b: [..., 8] uint32 -> [...] int32 in [0, 256].
+    """
+    return jnp.sum(popcount_u32(a ^ b), axis=-1).astype(jnp.int32)
+
+
+def distance_matrix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """All-pairs Hamming distances: [N, 8] x [M, 8] -> [N, M] int32."""
+    return hamming_distance(a[:, None, :], b[None, :, :])
+
+
+def match_nn(
+    desc_a: jnp.ndarray,
+    desc_b: jnp.ndarray,
+    mask_a: jnp.ndarray,
+    mask_b: jnp.ndarray,
+    max_dist: int = 50,
+    ratio: float = 0.9,
+    cross_check: bool = True,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Nearest-neighbour descriptor matching with Lowe ratio test and
+    mutual cross-check.
+
+    Mirrors the acceptance logic of SearchByBoW (best distance below
+    threshold TH_LOW=50 and best < ratio * second-best,
+    Matcher.cpp:250-283) but evaluated for all rows at once.
+
+    Returns (idx [N] int32 — index into b or -1, valid [N] bool).
+    """
+    BIG = jnp.int32(1 << 14)
+    d = distance_matrix(desc_a, desc_b)
+    d = jnp.where(mask_b[None, :], d, BIG)
+    best_idx = jnp.argmin(d, axis=1)
+    best = jnp.min(d, axis=1)
+    d2 = d.at[jnp.arange(d.shape[0]), best_idx].set(BIG)
+    second = jnp.min(d2, axis=1)
+    ok = (
+        mask_a
+        & (best <= max_dist)
+        & (best.astype(jnp.float32) < ratio * second.astype(jnp.float32))
+    )
+    if cross_check:
+        db = jnp.where(mask_a[:, None], d, BIG)
+        best_rev = jnp.argmin(db, axis=0)  # [M]
+        ok = ok & (best_rev[best_idx] == jnp.arange(d.shape[0]))
+    return jnp.where(ok, best_idx, -1).astype(jnp.int32), ok
+
+
+def rotation_consistency(
+    angle_a: jnp.ndarray,
+    angle_b: jnp.ndarray,
+    matched: jnp.ndarray,
+    n_bins: int = 30,
+    n_keep: int = 3,
+) -> jnp.ndarray:
+    """Rotation-histogram filter: keep matches whose angle difference
+    falls in the `n_keep` most popular of `n_bins` bins
+    (ComputeThreeMaxima + the rotation histogram in SearchByBoW,
+    Matcher.cpp:294-336).
+
+    angle_a/angle_b in radians; `matched` bool [N].  Returns the
+    filtered match mask.
+    """
+    two_pi = 2.0 * jnp.pi
+    rot = jnp.mod(angle_a - angle_b, two_pi)  # [0, 2pi)
+    bin_idx = jnp.clip(
+        (rot * (n_bins / two_pi)).astype(jnp.int32), 0, n_bins - 1
+    )
+    counts = jnp.zeros(n_bins, jnp.int32).at[bin_idx].add(
+        matched.astype(jnp.int32)
+    )
+    _, top_bins = jax.lax.top_k(counts, n_keep)
+    in_top = jnp.any(bin_idx[:, None] == top_bins[None, :], axis=1)
+    return matched & in_top

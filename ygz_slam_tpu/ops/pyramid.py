@@ -1,0 +1,53 @@
+"""Image pyramid construction.
+
+TPU-native replacement for the reference's per-frame gray pyramid
+built with cv::pyrDown (src/Basic/Frame.cpp:32-40; 3 levels per
+config/default.yaml:39).  pyrDown = separable 5-tap Gaussian
+[1,4,6,4,1]/16 followed by 2x decimation, implemented as two 1-D
+convolutions so XLA maps them onto fused VPU passes.
+
+Shapes are static per level (a Python tuple of arrays), which is what
+jit needs; levels are halved with floor semantics like OpenCV.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+_KERNEL = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
+
+
+def _conv1d(img: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Separable 5-tap filter along one axis with edge replication."""
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (2, 2)
+    x = jnp.pad(img, pad, mode="edge")
+    k = _KERNEL.astype(img.dtype)
+    if axis == 0:
+        window = (5, 1)
+        kern = k.reshape(5, 1, 1, 1)
+    else:
+        window = (1, 5)
+        kern = k.reshape(1, 5, 1, 1)
+    out = lax.conv_general_dilated(
+        x[None, :, :, None],
+        kern,
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return out[0, :, :, 0]
+
+
+def pyr_down(img: jnp.ndarray) -> jnp.ndarray:
+    """One pyramid step: Gaussian blur then 2x decimation (even rows/cols)."""
+    blurred = _conv1d(_conv1d(img, 0), 1)
+    return blurred[::2, ::2]
+
+
+def build_pyramid(img: jnp.ndarray, n_levels: int) -> tuple[jnp.ndarray, ...]:
+    """Gray image [H, W] float -> tuple of n_levels arrays, level 0 full res."""
+    levels = [img]
+    for _ in range(n_levels - 1):
+        levels.append(pyr_down(levels[-1]))
+    return tuple(levels)
