@@ -72,12 +72,13 @@ def sample_patches(
 ) -> jnp.ndarray:
     """Bilinear patches at *sub-pixel* centers [N, 2] -> [N, size, size].
 
-    The sampling grid is centered: pixel (i, j) of the patch reads
-    img at (x + j - size//2, y + i - size//2) bilinearly, which is what
-    the direct-alignment residual loops need.
+    The sampling grid is *symmetric* about the center: pixel (i, j)
+    reads img at (x + j - (size-1)/2, y + i - (size-1)/2) bilinearly —
+    matching align2d's interior grid so a border patch of size p+2
+    yields exactly the p x p samples the aligner compares against
+    (an asymmetric size//2 grid introduces a half-pixel bias).
     """
-    half = size // 2
-    d = jnp.arange(size, dtype=img.dtype) - half
+    d = jnp.arange(size, dtype=img.dtype) - (size - 1) / 2.0
     if offsets is None:
         gx = centers[:, None, None, 0] + d[None, None, :]
         gy = centers[:, None, None, 1] + d[None, :, None]

@@ -1,0 +1,153 @@
+"""Whole-frame sparse-direct image alignment (SVO-style), batched.
+
+TPU-native replacement for the reference's SparseImgAlign
+(src/Algorithm/SparseImageAlign.cpp): coarse-to-fine photometric
+alignment of the current frame against the reference frame using 4x4
+patches around features with known depth, inverse-compositional
+Jacobians precomputed on the reference (:59-122), residual/Hessian
+accumulation (:124-223), 6x6 solve (:225-231) and right-multiplicative
+update T <- T * exp(-x) (:233-238).
+
+The reference's per-feature/per-pixel scalar hot loop becomes one
+[N, 16] tensor contraction per GN iteration; each pyramid level's GN
+runs as a fused `lax.while_loop` via solvers.nlls.gauss_newton, so a
+full 3-level alignment is a single jit-compiled computation.
+
+Sign note: the reference's JacobXYZ2Cam has the negative sign baked in
+(CVUtils.h:76 "已经取了负号") and solves H x = -sum(J r) then updates
+T*exp(-x); with our positive-sign geometry.jacobians.duv_dxi this is
+equivalent to b = -sum(J r), dx = H^-1 b, T <- T * exp(dx), which is
+what the generic GN engine computes.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import se3 as se3m
+from ..geometry.se3 import SE3
+from ..geometry import jacobians as jac
+from ..solvers.nlls import gauss_newton
+from ..solvers import robust
+from .interp import bilinear, in_bounds
+
+PATCH_HALF = 2
+PATCH = 2 * PATCH_HALF          # 4x4 patches (SparseImageAlign.h)
+PATCH_AREA = PATCH * PATCH
+
+
+class AlignStats(NamedTuple):
+    T_cur_ref: SE3
+    chi2: jnp.ndarray        # final mean squared residual (last level)
+    n_visible: jnp.ndarray   # features used on the finest level
+    H: jnp.ndarray           # 6x6 Fisher-style information (last level)
+
+
+def _patch_offsets(dtype=jnp.float32):
+    d = jnp.arange(PATCH, dtype=dtype) - (PATCH_HALF - 0.5)
+    gx, gy = jnp.meshgrid(d, d)
+    return gx.reshape(-1), gy.reshape(-1)   # [16]
+
+
+def _level_align(
+    ref_img, cur_img, cam, px_ref, p_ref, visible0, T_init, n_iter, level,
+    use_weights,
+):
+    """One pyramid level's GN alignment; returns (T, chi2, H, n_used)."""
+    scale = 1.0 / (2.0 ** level)
+    Hh, Ww = ref_img.shape
+    N = px_ref.shape[0]
+    gx, gy = _patch_offsets(ref_img.dtype)
+
+    # ---- precompute reference patches + inverse-compositional Jacobians
+    u_ref = px_ref * scale
+    vis = visible0 & in_bounds(u_ref, Hh, Ww, margin=PATCH_HALF + 2)
+    coords = jnp.stack(
+        [u_ref[:, 0, None] + gx[None], u_ref[:, 1, None] + gy[None]], axis=-1
+    )                                                       # [N,16,2]
+    ref_patch = bilinear(ref_img, coords)                   # [N,16]
+    dx = 0.5 * (
+        bilinear(ref_img, coords + jnp.array([1.0, 0.0]))
+        - bilinear(ref_img, coords + jnp.array([-1.0, 0.0]))
+    )
+    dy = 0.5 * (
+        bilinear(ref_img, coords + jnp.array([0.0, 1.0]))
+        - bilinear(ref_img, coords + jnp.array([0.0, -1.0]))
+    )
+    J_proj = jac.duv_dxi(p_ref, cam.fx * scale, cam.fy * scale)  # [N,2,6]
+    J = dx[..., None] * J_proj[:, None, 0, :] + dy[..., None] * J_proj[:, None, 1, :]
+    # [N,16,6]
+
+    def compute(T):
+        p_cur = T.apply(p_ref)
+        behind = p_cur[:, 2] < 1e-3
+        px_cur = cam.camera_to_pixel(p_cur) * scale
+        okc = vis & (~behind) & in_bounds(px_cur, Hh, Ww, margin=PATCH_HALF + 2)
+        coords_c = jnp.stack(
+            [px_cur[:, 0, None] + gx[None], px_cur[:, 1, None] + gy[None]],
+            axis=-1,
+        )
+        cur_patch = bilinear(cur_img, coords_c)
+        r = cur_patch - ref_patch                            # [N,16]
+        w = okc[:, None].astype(r.dtype)
+        if use_weights:
+            sigma = jnp.maximum(
+                robust.mad_scale(jnp.abs(r).reshape(-1), w.reshape(-1) > 0), 1.0
+            )
+            w = w * robust.tdist_weight(r / sigma)
+        H = jnp.einsum("npa,np,npb->ab", J, w, J)
+        b = -jnp.einsum("npa,np->a", J, w * r)
+        chi2 = jnp.sum(w * r * r) / jnp.maximum(jnp.sum(w), 1.0)
+        return H, b, chi2
+
+    def retract(T, dxi):
+        return T.compose(se3m.exp(dxi))
+
+    T_out, stats = gauss_newton(compute, retract, T_init, n_iter=n_iter, eps=1e-7)
+    H_final, _, chi2_final = compute(T_out)
+    return T_out, chi2_final, H_final, jnp.sum(vis)
+
+
+def sparse_image_align(
+    ref_pyr: tuple[jnp.ndarray, ...],
+    cur_pyr: tuple[jnp.ndarray, ...],
+    cam,
+    px_ref: jnp.ndarray,
+    depth_ref: jnp.ndarray,
+    mask: jnp.ndarray,
+    T_init: SE3,
+    n_iter: int = 30,
+    max_level: int | None = None,
+    min_level: int = 0,
+    use_weights: bool = False,
+    distorted: bool = True,
+) -> AlignStats:
+    """Coarse-to-fine sparse-direct alignment.
+
+    Args:
+      ref_pyr / cur_pyr: image pyramids (tuples, level 0 full-res).
+      cam: PinholeCamera (level-0 intrinsics).
+      px_ref: [N, 2] level-0 feature pixels in the ref frame.
+      depth_ref: [N] feature depths in the ref frame (z, ref camera).
+      mask: [N] validity (features with depth).
+      T_init: initial T_cur_ref guess.
+    Returns AlignStats with the refined relative pose (run: levels
+    max->min, 30 GN iterations each, SparseImageAlign.cpp:39-47 via
+    Matcher.cpp:18 defaults).
+    """
+    if max_level is None:
+        max_level = len(ref_pyr) - 1
+    p_ref = cam.pixel_to_camera(px_ref, depth_ref, distorted=distorted)
+    visible0 = mask & (depth_ref > 1e-3)
+    T = T_init
+    chi2 = jnp.asarray(0.0, ref_pyr[0].dtype)
+    H = jnp.zeros((6, 6), ref_pyr[0].dtype)
+    n_vis = jnp.asarray(0, jnp.int32)
+    for level in range(max_level, min_level - 1, -1):
+        T, chi2, H, n_vis = _level_align(
+            ref_pyr[level], cur_pyr[level], cam, px_ref, p_ref, visible0,
+            T, n_iter, level, use_weights,
+        )
+    return AlignStats(T_cur_ref=T, chi2=chi2, n_visible=n_vis, H=H)

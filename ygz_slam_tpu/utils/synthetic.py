@@ -1,0 +1,87 @@
+"""Synthetic photometric scenes with exact ground truth.
+
+The reference's simulation fixtures only project points + add noise
+(test/test_initializer.cpp, test/test_local_ba.cpp).  Direct-method
+kernels additionally need *images* that are photometrically consistent
+across views; this module renders a textured fronto-world plane from
+arbitrary camera poses, giving exact ground truth for pose, depth and
+pixel correspondences — the oracle for KLT / patch-alignment /
+sparse-direct tests and benchmarks.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..geometry.se3 import SE3
+from ..ops.interp import bilinear
+
+
+def make_texture(size: int = 1024, seed: int = 0, octaves: int = 4) -> jnp.ndarray:
+    """Smooth multi-octave random texture [size, size] float32 in [0, 255]."""
+    rng = np.random.default_rng(seed)
+    tex = np.zeros((size, size), np.float32)
+    for o in range(octaves):
+        s = size >> (octaves - 1 - o)
+        layer = rng.uniform(-1, 1, size=(s, s)).astype(np.float32)
+        # Upsample by repetition then box blur for smoothness.
+        rep = size // s
+        layer = np.kron(layer, np.ones((rep, rep), np.float32))
+        k = max(rep // 2, 1)
+        if k > 1:
+            c = np.cumsum(np.pad(layer, ((1, 0), (0, 0))), axis=0)
+            layer = (c[k:] - c[:-k]) / k
+            layer = np.pad(layer, ((0, size - layer.shape[0]), (0, 0)), mode="edge")
+            c = np.cumsum(np.pad(layer, ((0, 0), (1, 0))), axis=1)
+            layer = (c[:, k:] - c[:, :-k]) / k
+            layer = np.pad(layer, ((0, 0), (0, size - layer.shape[1])), mode="edge")
+        tex += layer * (0.5 ** (octaves - 1 - o))
+    tex = (tex - tex.min()) / (tex.max() - tex.min())
+    return jnp.asarray(40.0 + 175.0 * tex)
+
+
+class PlaneScene:
+    """World: textured plane z = plane_z; cameras look roughly at +z.
+
+    Texture coordinates: world (x, y) * tex_per_meter + tex_size/2.
+    """
+
+    def __init__(self, cam, plane_z: float = 3.0, tex_size: int = 1024,
+                 tex_per_meter: float = 120.0, seed: int = 0):
+        self.cam = cam
+        self.plane_z = plane_z
+        self.tex = make_texture(tex_size, seed)
+        self.tex_per_meter = tex_per_meter
+        self.tex_size = tex_size
+
+    def world_from_pixel(self, px: jnp.ndarray, T_cw: SE3) -> jnp.ndarray:
+        """Intersect pixel rays with the plane -> world points [..., 3]."""
+        T_wc = T_cw.inverse()
+        bearing_c = self.cam.pixel_to_camera(px, 1.0, distorted=False)
+        d_w = jnp.einsum("ij,...j->...i", T_wc.R, bearing_c)
+        o_w = T_wc.t
+        t = (self.plane_z - o_w[2]) / jnp.where(
+            jnp.abs(d_w[..., 2]) < 1e-9, 1e-9, d_w[..., 2]
+        )
+        return o_w + t[..., None] * d_w
+
+    def render(self, T_cw: SE3, shape: tuple[int, int]) -> jnp.ndarray:
+        """Render an [H, W] image from camera pose T_cw."""
+        H, W = shape
+        u, v = jnp.meshgrid(jnp.arange(W, dtype=jnp.float32),
+                            jnp.arange(H, dtype=jnp.float32))
+        px = jnp.stack([u, v], axis=-1)
+        w_pts = self.world_from_pixel(px, T_cw)
+        tx = w_pts[..., 0] * self.tex_per_meter + self.tex_size / 2
+        ty = w_pts[..., 1] * self.tex_per_meter + self.tex_size / 2
+        return bilinear(self.tex, jnp.stack([tx, ty], axis=-1))
+
+    def depth(self, px: jnp.ndarray, T_cw: SE3) -> jnp.ndarray:
+        """Ground-truth z-depth of the plane at pixels [..., 2]."""
+        w = self.world_from_pixel(px, T_cw)
+        return T_cw.apply(w)[..., 2]
+
+    def project_to(self, px_a: jnp.ndarray, T_a: SE3, T_b: SE3) -> jnp.ndarray:
+        """Ground-truth correspondence: pixels in view a -> pixels in b."""
+        w = self.world_from_pixel(px_a, T_a)
+        return self.cam.world_to_pixel(w, T_b, distorted=False)
