@@ -1,8 +1,9 @@
 """Nonlinear solvers: GN/LM engine, robust costs, bundle adjustment.
 Replaces the reference's NLLSSolver/RobustCost (SVO/vikit) and the
 Ceres/g2o BA backends (SURVEY.md stage 2)."""
-from . import robust, nlls, ba
+from . import robust, nlls, ba, initializer
 from .nlls import gauss_newton, levenberg_marquardt
+from .initializer import initialize_two_view, ransac_hf
 from .ba import (
     Observations,
     pose_only_ba,
