@@ -1,0 +1,130 @@
+"""End-to-end VO tests on rendered synthetic sequences.
+
+The integration analogue of test_vo_init.cpp / test_vo_track.cpp, but
+with exact ground truth: a textured-plane world rendered along a
+smooth camera trajectory; the VO must initialize monocularly and track
+with bounded (scale-aligned) trajectory error.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ygz_slam_tpu.geometry import SE3, PinholeCamera, se3, so3
+from ygz_slam_tpu.models import VisualOdometry, VOOptions, Status
+from ygz_slam_tpu.utils.synthetic import PlaneScene
+
+CAM = PinholeCamera.create(320.0, 320.0, 160.0, 120.0)
+SHAPE = (240, 320)
+
+
+def make_trajectory(n_frames, seed=0):
+    """Smooth sideways + forward sweep with small rotation."""
+    poses = []
+    for k in range(n_frames):
+        t = k / max(n_frames - 1, 1)
+        xi = jnp.asarray(
+            [1.1 * t, 0.18 * np.sin(2 * t), 0.3 * t,
+             0.03 * np.sin(3 * t), -0.16 * t, 0.03 * t],
+            jnp.float32,
+        )
+        poses.append(se3.exp(xi))
+    return poses
+
+
+# Map scale is normalized to mean depth 1 (true scene depth ~3 m), so
+# metric keyframe gates shrink by ~3x; these options compensate.
+VO_OPTS = dict(
+    init_min_disparity=15.0, kf_min_frames=5, kf_max_trans=0.04,
+    kf_max_rot=0.05,
+)
+
+
+def render_sequence(n_frames, seed=0):
+    scene = PlaneScene(CAM, plane_z=3.0, seed=seed)
+    poses = make_trajectory(n_frames, seed)
+    imgs = [scene.render(T, SHAPE) for T in poses]
+    return scene, poses, imgs
+
+
+def sim3_align_ate(est_t, gt_t):
+    """Scale+rigid alignment (Umeyama) then RMSE — monocular ATE."""
+    est = np.asarray(est_t)
+    gt = np.asarray(gt_t)
+    mu_e, mu_g = est.mean(0), gt.mean(0)
+    e, g = est - mu_e, gt - mu_g
+    cov = g.T @ e / len(e)
+    U, D, Vt = np.linalg.svd(cov)
+    S = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        S[2, 2] = -1
+    R = U @ S @ Vt
+    var_e = (e ** 2).sum() / len(e)
+    s = np.trace(np.diag(D) @ S) / max(var_e, 1e-12)
+    t = mu_g - s * R @ mu_e
+    aligned = (s * (R @ est.T)).T + t
+    return float(np.sqrt(((aligned - gt) ** 2).sum(axis=1).mean()))
+
+
+class TestVOPipeline:
+    def test_initializes_and_tracks(self):
+        n = 40
+        scene, poses, imgs = render_sequence(n)
+        vo = VisualOdometry(CAM, VOOptions(**VO_OPTS))
+        statuses, est, gt = [], [], []
+        for k, img in enumerate(imgs):
+            r = vo.add_frame(img, timestamp=float(k))
+            statuses.append(r.status)
+            if r.status == Status.GOOD:
+                # Camera center in world: -R^T t.
+                c_est = -(r.T_cw.R.T @ r.T_cw.t)
+                c_gt = -(poses[k].R.T @ poses[k].t)
+                est.append(np.asarray(c_est))
+                gt.append(np.asarray(c_gt))
+        assert Status.GOOD in statuses, f"never reached GOOD: {statuses}"
+        n_good = sum(s == Status.GOOD for s in statuses)
+        assert n_good > n * 0.5, f"only {n_good}/{n} frames tracked"
+        assert statuses[-1] == Status.GOOD, "lost tracking at the end"
+        ate = sim3_align_ate(np.array(est), np.array(gt))
+        # Trajectory spans ~0.6 m; ATE after Sim3 alignment must be cm-level.
+        assert ate < 0.05, f"ATE {ate:.4f} m"
+
+    def test_keyframes_inserted(self):
+        n = 40
+        scene, poses, imgs = render_sequence(n)
+        vo = VisualOdometry(CAM, VOOptions(**VO_OPTS))
+        for k, img in enumerate(imgs):
+            vo.add_frame(img, timestamp=float(k))
+        assert len(vo.server.kf_used) >= 3, vo.server.kf_used
+        m = vo.server.state
+        assert int(m.pt_valid.sum()) > 50
+        # Covisibility between consecutive keyframes must be nonzero.
+        used = vo.server.kf_used
+        w = np.asarray(m.cov_weight)
+        assert w[used[0], used[1]] > 10
+
+    def test_static_camera_stays_initing(self):
+        scene = PlaneScene(CAM, plane_z=3.0, seed=5)
+        img = scene.render(SE3.identity(), SHAPE)
+        vo = VisualOdometry(CAM, VOOptions())
+        for _ in range(5):
+            r = vo.add_frame(img)
+        assert r.status in (Status.NOT_READY, Status.INITING)
+
+    def test_reset(self):
+        n = 20
+        scene, poses, imgs = render_sequence(n)
+        vo = VisualOdometry(CAM, VOOptions(**VO_OPTS))
+        for img in imgs:
+            vo.add_frame(img)
+        vo.reset()
+        assert vo.status == Status.NOT_READY
+        assert len(vo.server.kf_used) == 0
+        # Can re-run after reset.
+        for img in imgs[:12]:
+            r = vo.add_frame(img)
+        assert r.status in (Status.INITING, Status.GOOD)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q", "-x"])

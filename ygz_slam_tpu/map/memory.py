@@ -1,0 +1,78 @@
+"""MapServer: host-side slot allocation over the device MapState.
+
+Replaces the reference's `Memory` singleton (src/Basic/Memory.cpp):
+the only component allowed to hand out keyframe slots and landmark
+rows.  All array *contents* live on device in MapState (map/state.py);
+the server only does integer bookkeeping, pulling small masks to host
+at keyframe rate (never per frame).
+
+Eviction: when keyframe capacity is full, the slot least covisible
+with the newest keyframe is evicted (the fixed-capacity analogue of
+the local-map window, LocalMapping.cpp:247-264) — its features are
+invalidated and orphaned landmarks culled by the next covisibility
+refresh.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import state as ms
+
+
+class MapServer:
+    def __init__(self, K: int, F: int, L: int):
+        self.Kcap, self.Fcap, self.Lcap = K, F, L
+        self.state = ms.empty_map(K, F, L)
+        self.kf_used: list[int] = []   # slots in insertion order
+        self.next_frame_id = 0
+
+    # -- slot allocation ------------------------------------------------
+    def alloc_kf_slot(self, current_slot: int | None = None) -> int:
+        """Free slot, or evict the least-covisible-with-current slot."""
+        used = set(self.kf_used)
+        for s in range(self.Kcap):
+            if s not in used:
+                return s
+        cov = np.asarray(self.state.cov_weight)
+        ref = current_slot if current_slot is not None else self.kf_used[-1]
+        # Never evict the reference or the newest keyframe.
+        protect = {ref, self.kf_used[-1]}
+        cands = [s for s in self.kf_used if s not in protect]
+        weights = [cov[ref, s] for s in cands]
+        victim = cands[int(np.argmin(weights))]
+        self.evict_kf(victim)
+        return victim
+
+    def evict_kf(self, slot: int):
+        m = self.state
+        self.state = m._replace(
+            kf_valid=m.kf_valid.at[slot].set(False),
+            feat_valid=m.feat_valid.at[slot].set(
+                jnp.zeros(self.Fcap, bool)
+            ),
+            feat_point=m.feat_point.at[slot].set(
+                jnp.full(self.Fcap, -1, jnp.int32)
+            ),
+        )
+        self.kf_used.remove(slot)
+
+    def alloc_landmark_rows(self, n: int) -> np.ndarray:
+        """Up to n free landmark rows (host pulls the valid mask)."""
+        valid = np.asarray(self.state.pt_valid)
+        free = np.where(~valid)[0]
+        return free[:n].astype(np.int32)
+
+    def register_keyframe(self, *args, **kwargs) -> int:
+        """insert_keyframe into an allocated slot; returns the slot."""
+        slot = self.alloc_kf_slot()
+        self.state = ms.insert_keyframe(self.state, slot, *args, **kwargs)
+        self.kf_used.append(slot)
+        return slot
+
+    def refresh_covisibility(self):
+        self.state = ms.update_covisibility(self.state)
+        # Cull landmarks that lost every observation (e.g. after evict).
+        m = self.state
+        orphaned = m.pt_valid & (m.pt_obs == 0)
+        self.state = m._replace(pt_valid=m.pt_valid & (~orphaned))

@@ -1,0 +1,150 @@
+"""Local mapping: keyframe processing, new-landmark triangulation,
+windowed local BA, and map-point culling — the backend pass.
+
+TPU-native replacement for the reference's LocalMapping module
+(src/Module/LocalMapping.cpp): ProcessNewKeyFrame/covisibility
+(:338-346), MapPointCulling (:348-373), CreateNewMapPoints (:375-571:
+epipolar BoW match -> parallax check -> two-view triangulation ->
+reprojection gate -> create), LocalBA (:149-208 -> ba::LocalBAG2O).
+
+All steps are pure functions over MapState with fixed shapes; the
+host-side MapServer (map/memory.py) only decides slot indices.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.se3 import SE3
+from ..geometry.triangulation import depth_from_triangulation
+from ..map import state as ms
+from ..ops import hamming
+from ..solvers import ba as bam
+
+
+def match_new_features_for_triangulation(
+    cam,
+    desc_new, px_new, valid_new, T_new: SE3,
+    desc_ref, px_ref, valid_ref, T_ref: SE3,
+    max_dist: int = 50,
+    epipolar_sigma: float = 1.5,
+    min_parallax_cos: float = 0.9998,
+):
+    """Descriptor-match unlinked features of a new keyframe against a
+    neighbor keyframe, gate by the known epipolar geometry, and
+    triangulate (Matcher::SearchForTriangulation + the triangulation
+    core of CreateNewMapPoints; the BoW gating is replaced by the
+    batched Hamming matrix, the known relative pose by construction).
+
+    Returns (pos_world [N,3], good [N], ref_idx [N]) for the new KF's
+    feature rows.
+    """
+    idx, ok = hamming.match_nn(
+        desc_new, desc_ref, valid_new, valid_ref, max_dist=max_dist,
+        ratio=0.9,
+    )
+    idx_safe = jnp.clip(idx, 0, px_ref.shape[0] - 1)
+    p_ref = px_ref[idx_safe]
+    # Epipolar check from known poses: distance of ref match to the
+    # epipolar line of the new feature (CheckDistEpipolarLine,
+    # Matcher.cpp:338-354, with geometric rather than BoW gating).
+    T_rn = T_ref.compose(T_new.inverse())
+    f_new = cam.pixel_to_bearing(px_new)
+    f_ref = cam.pixel_to_bearing(p_ref)
+    # Essential matrix E = [t]x R for T_ref<-new.
+    from ..geometry import so3 as so3m
+    E = so3m.hat(T_rn.t) @ T_rn.R
+    l_ref = jnp.einsum("ij,nj->ni", E, f_new)        # epipolar plane normal
+    # Angular distance of ref bearing from the epipolar plane.
+    dist = jnp.abs(jnp.sum(f_ref * l_ref, axis=-1)) / jnp.maximum(
+        jnp.linalg.norm(l_ref[:, :2], axis=-1), 1e-9
+    )
+    fx = cam.fx
+    ep_ok = dist * fx < 3.0 * epipolar_sigma
+    # Parallax + triangulation.
+    T_nr = T_new.compose(T_ref.inverse())
+    f_ref_n = cam.pixel_to_bearing(p_ref)
+    depth_ref, tri_ok = depth_from_triangulation(T_nr, f_ref_n, f_new)
+    cosp = jnp.sum(
+        f_new * jnp.einsum("ij,nj->ni", T_nr.R, f_ref_n), axis=-1
+    )
+    pos_ref_cam = f_ref_n * depth_ref[:, None]
+    pos_world = T_ref.inverse().apply(pos_ref_cam)
+    # Reprojection gate in both views.
+    pn = cam.world_to_pixel(pos_world, T_new)
+    pr = cam.world_to_pixel(pos_world, T_ref)
+    e_n = jnp.sum((pn - px_new) ** 2, axis=-1)
+    e_r = jnp.sum((pr - p_ref) ** 2, axis=-1)
+    z_new = T_new.apply(pos_world)[:, 2]
+    good = (
+        ok & ep_ok & tri_ok
+        & (depth_ref > 0.05) & (z_new > 0.05)
+        & (cosp < min_parallax_cos)
+        & (e_n < bam.CHI2_2D) & (e_r < bam.CHI2_2D)
+    )
+    return pos_world, good, idx_safe
+
+
+class MappingResult(NamedTuple):
+    map: ms.MapState
+    n_culled: jnp.ndarray
+    ba_chi2: jnp.ndarray
+
+
+def map_point_culling(
+    m: ms.MapState,
+    min_found_ratio: float = 0.25,
+    min_obs: int = 2,
+    grace_kf: int = 2,
+    current_kf_slot: int | jnp.ndarray = 0,
+) -> ms.MapState:
+    """Invalidate unreliable landmarks (MapPointCulling,
+    LocalMapping.cpp:348-373): found-ratio below 0.25, or too few
+    observing keyframes after a grace period."""
+    ratio_bad = m.found_ratio() < min_found_ratio
+    seen_enough = m.pt_visible >= 4  # only judge ratio with evidence
+    obs_bad = (m.pt_obs < min_obs) & (m.pt_visible >= 2 + grace_kf)
+    cull = m.pt_valid & ((ratio_bad & seen_enough) | obs_bad)
+    pt_valid = m.pt_valid & (~cull)
+    # Unlink culled landmarks from features.
+    pt_safe = jnp.clip(m.feat_point, 0, m.L - 1)
+    linked_ok = pt_valid[pt_safe] & (m.feat_point >= 0)
+    feat_point = jnp.where(linked_ok, m.feat_point, -1)
+    return m._replace(pt_valid=pt_valid, feat_point=feat_point)
+
+
+def local_ba_on_map(
+    m: ms.MapState,
+    cam,
+    fixed_slots: jnp.ndarray,   # [K] bool — gauge-fixed keyframes
+    n_iter: int = 10,
+) -> tuple[ms.MapState, jnp.ndarray]:
+    """Windowed BA over every valid keyframe + landmark in the map
+    (LocalMapping::LocalBA -> ba::LocalBAG2O, BA.cpp:386-543), writing
+    the optimized poses/points back into MapState.
+
+    Returns (updated map, chi2)."""
+    kf_idx, pt_idx, px, mask = ms.observations_from_features(m)
+    obs = bam.Observations(kf_idx=kf_idx, pt_idx=pt_idx, px=px, mask=mask)
+    poses = m.kf_pose()
+    fixed = fixed_slots | (~m.kf_valid)
+    res = bam.local_ba(poses, m.pt_pos, obs, cam, fixed, n_iter=n_iter)
+    new_pose7 = res.poses.params7()
+    # Only valid keyframes/points move.
+    pose7 = jnp.where(m.kf_valid[:, None], new_pose7, m.kf_pose7)
+    pts = jnp.where(m.pt_valid[:, None], res.points, m.pt_pos)
+    return m._replace(kf_pose7=pose7, pt_pos=pts), res.chi2
+
+
+def keyframe_culling_scores(m: ms.MapState) -> jnp.ndarray:
+    """Redundancy score per keyframe: fraction of its landmarks seen by
+    >= 3 other keyframes (KeyFrameCulling's 90% rule,
+    LocalMapping.cpp:579-618).  The host evicts slots scoring > 0.9."""
+    pt_safe = jnp.clip(m.feat_point, 0, m.L - 1)
+    linked = m.feat_valid & (m.feat_point >= 0) & m.pt_valid[pt_safe]
+    obs_counts = m.pt_obs[pt_safe]
+    redundant = linked & (obs_counts >= 4)  # self + 3 others
+    n_linked = jnp.maximum(jnp.sum(linked, axis=1), 1)
+    return jnp.sum(redundant, axis=1) / n_linked

@@ -1,0 +1,494 @@
+"""VisualOdometry: the frontend state machine.
+
+TPU-native replacement for the reference's VisualOdometry module
+(src/Module/VisualOdometry.cpp): the NOT_READY/INITING/GOOD/LOST
+state machine (:38-107), monocular initialization (:111-180),
+map-point creation with mean-depth-1 rescaling (:220-279),
+TrackRefFrame with motion-model fallback (:281-302), the keyframe
+policy (>=10 frames AND (rot > 0.1 OR trans > 0.1), :304-321) and
+SetKeyframe (:182-218).
+
+Architecture: the host owns only the state machine + slot bookkeeping
+(MapServer); each per-frame stage is a jitted device computation over
+fixed-shape tensors:
+  _jit_detect        pyramid -> Features
+  _jit_klt           init-phase KLT tracking
+  _jit_init          RANSAC H/F + reconstruct
+  _jit_track         sparse align -> patch-align vs map -> pose BA
+  _jit_triangulate   new-landmark creation at keyframes
+  _jit_mapping       covisibility + local BA + culling
+"""
+from __future__ import annotations
+
+import dataclasses
+from enum import Enum
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..geometry import se3 as se3m
+from ..geometry.se3 import SE3
+from ..map import state as ms
+from ..map.memory import MapServer
+from ..ops.align import klt_pyramidal
+from ..solvers import initializer as init_mod
+from ..solvers import ba as bam
+from . import frontend as fe
+from . import local_mapping as lm
+
+
+class Status(Enum):
+    NOT_READY = 0
+    INITING = 1
+    GOOD = 2
+    LOST = 3
+
+
+@dataclasses.dataclass
+class VOOptions:
+    """Config defaults mirroring config/default.yaml +
+    VisualOdometry::Option (VisualOdometry.h:32-45)."""
+
+    n_levels: int = 3
+    detect_threshold: float = 20.0
+    grid_cell: int = 16
+    feat_budgets: tuple = (160, 64, 32)   # per-level detection budgets
+    init_min_features: int = 80           # init.min_features (yaml :45)
+    init_min_disparity: float = 20.0      # init.min_disparity (:46)
+    init_min_inliers: int = 40            # init.min_inliers (:47)
+    min_track_inliers: int = 30           # TrackLocalMap gate (hdr :19)
+    kf_min_frames: int = 10               # keyframe.min_frames
+    kf_max_rot: float = 0.1               # keyframe.max_rot (yaml :61)
+    kf_max_trans: float = 0.1             # keyframe.max_trans (:62)
+    max_alignment_motion: float = 0.2     # Matcher.h:30
+    map_K: int = 10
+    map_F: int = 256
+    map_L: int = 2000
+    local_ba_iters: int = 8
+    lost_reset_frames: int = 10
+
+
+@dataclasses.dataclass
+class TrackResult:
+    status: Status
+    T_cw: SE3 | None
+    n_inliers: int = 0
+
+
+class VisualOdometry:
+    """Monocular VO over a fixed-capacity tensor map."""
+
+    def __init__(self, cam, opts: VOOptions | None = None):
+        self.cam = cam
+        self.o = opts or VOOptions()
+        o = self.o
+        self.server = MapServer(o.map_K, o.map_F, o.map_L)
+        self.status = Status.NOT_READY
+        self.kf_images = None        # [K, H, W] device array
+        self.T_cw = SE3.identity()
+        self.velocity = SE3.identity()
+        self.prev_pyr = None
+        self.prev_T_cw = SE3.identity()
+        self.prev_found = None       # [L] bool landmarks seen last frame
+        self.prev_obs_px = None      # [L, 2]
+        self.init_pyr = None
+        self.init_feats: fe.Features | None = None
+        self.frames_since_kf = 0
+        self.last_kf_slot = -1
+        self.frame_id = -1
+        self.lost_count = 0
+        self.trajectory: list[tuple[float, np.ndarray]] = []
+        self._build_jits()
+
+    # ------------------------------------------------------------------
+    def _build_jits(self):
+        o, cam = self.o, self.cam
+
+        @jax.jit
+        def _detect(pyr, existing_px, existing_mask):
+            return fe.detect_multilevel(
+                pyr, o.detect_threshold, o.grid_cell, o.feat_budgets,
+                existing_px, existing_mask,
+            )
+
+        @jax.jit
+        def _detect_free(pyr):
+            return fe.detect_multilevel(
+                pyr, o.detect_threshold, o.grid_cell, o.feat_budgets
+            )
+
+        @jax.jit
+        def _klt(ref_pyr, cur_pyr, px, px_init):
+            return klt_pyramidal(ref_pyr, cur_pyr, px, px_init)
+
+        @jax.jit
+        def _init(p1, p2, mask, key):
+            return init_mod.initialize_two_view(
+                p1, p2, mask, cam.K, key,
+                min_good=o.init_min_inliers,
+            )
+
+        @jax.jit
+        def _two_view_ba(T1, T2, pts, px1, px2, mask):
+            return bam.two_view_ba(T1, T2, pts, px1, px2, mask, cam)
+
+        @partial(jax.jit, donate_argnums=())
+        def _track(prev_pyr, cur_pyr, prev_T_cw7, T_pred7, mstate,
+                   kf_images, prev_found, prev_obs_px):
+            prev_T_cw = SE3.from_params7(prev_T_cw7)
+            T_pred = SE3.from_params7(T_pred7)
+            # (a) sparse-direct alignment against the previous frame:
+            # its "features with depth" are last frame's landmark
+            # observations, depth = landmark z in the previous camera.
+            z_prev = prev_T_cw.apply(mstate.pt_pos)[:, 2]
+            ref_mask = prev_found & mstate.pt_valid & (z_prev > 0.05)
+            tr = fe.track_ref_frame(
+                prev_pyr, cur_pyr, cam, prev_T_cw,
+                prev_obs_px, z_prev, ref_mask, T_pred,
+                max_motion=o.max_alignment_motion,
+            )
+            # (b) reference patches for all landmarks from keyframes.
+            patches, patch_ok = fe.reference_patches_for_landmarks(
+                kf_images, mstate.kf_pose7,
+                mstate.feat_px.reshape(-1, 2),
+                mstate.feat_level.reshape(-1),
+                mstate.pt_ref_feat, mstate.pt_pos, mstate.pt_valid,
+                cam, tr.T_cw,
+            )
+            # (c) map tracking + pose-only BA.
+            tm = fe.track_local_map(
+                cur_pyr, cam, tr.T_cw, mstate.pt_pos, mstate.pt_valid,
+                patches, patch_ok,
+            )
+            # (d) landmark statistics (MapPoint _cnt_visible/_cnt_found).
+            mstate = mstate._replace(
+                pt_visible=mstate.pt_visible + tm.candidate.astype(jnp.int32),
+                pt_found=mstate.pt_found + tm.found.astype(jnp.int32),
+            )
+            return tm, mstate, tr.ok
+
+        @jax.jit
+        def _triangulate(mstate, feats_px, feats_desc, feats_valid,
+                         T_new7, nbr_slot):
+            T_new = SE3.from_params7(T_new7)
+            T_ref = SE3.from_params7(mstate.kf_pose7[nbr_slot])
+            desc_ref = mstate.feat_desc[nbr_slot]
+            px_ref = mstate.feat_px[nbr_slot]
+            # Only unlinked neighbor features take part (linked ones
+            # already have landmarks).
+            ref_free = (
+                mstate.feat_valid[nbr_slot]
+                & (mstate.feat_point[nbr_slot] < 0)
+            )
+            return lm.match_new_features_for_triangulation(
+                cam, feats_desc, feats_px, feats_valid, T_new,
+                desc_ref, px_ref, ref_free, T_ref,
+            )
+
+        @jax.jit
+        def _mapping(mstate, fixed_slots):
+            mstate = ms.update_covisibility(mstate)
+            mstate, chi2 = lm.local_ba_on_map(
+                mstate, cam, fixed_slots, n_iter=o.local_ba_iters
+            )
+            mstate = lm.map_point_culling(mstate)
+            mstate = ms.update_covisibility(mstate)
+            return mstate, chi2
+
+        self._jit_detect = _detect
+        self._jit_detect_free = _detect_free
+        self._jit_klt = _klt
+        self._jit_init = _init
+        self._jit_two_view_ba = _two_view_ba
+        self._jit_track = _track
+        self._jit_triangulate = _triangulate
+        self._jit_mapping = _mapping
+
+    # ------------------------------------------------------------------
+    def add_frame(self, img, timestamp: float = 0.0) -> TrackResult:
+        """Main entry (VisualOdometry::AddFrame dispatch, :38-107)."""
+        self.frame_id += 1
+        pyr = fe.preprocess(jnp.asarray(img), self.o.n_levels)
+        if self.kf_images is None:
+            H, W = pyr[0].shape
+            self.kf_images = jnp.zeros((self.o.map_K, H, W), jnp.float32)
+
+        if self.status == Status.NOT_READY:
+            res = self._start_init(pyr)
+        elif self.status == Status.INITING:
+            res = self._try_init(pyr)
+        elif self.status == Status.GOOD:
+            res = self._track_frame(pyr)
+        else:  # LOST
+            res = self._handle_lost(pyr)
+        if res.T_cw is not None:
+            self.trajectory.append(
+                (timestamp, np.asarray(res.T_cw.params7()))
+            )
+        return res
+
+    # -- NOT_READY ------------------------------------------------------
+    def _start_init(self, pyr):
+        feats = self._jit_detect_free(pyr)
+        if int(feats.valid.sum()) < self.o.init_min_features:
+            return TrackResult(Status.NOT_READY, SE3.identity())
+        self.init_pyr = pyr
+        self.init_feats = feats
+        self.init_track_px = feats.px
+        self.status = Status.INITING
+        return TrackResult(Status.INITING, SE3.identity())
+
+    # -- INITING --------------------------------------------------------
+    def _try_init(self, pyr):
+        o = self.o
+        klt = self._jit_klt(
+            self.init_pyr, pyr, self.init_feats.px, self.init_track_px
+        )
+        tracked = self.init_feats.valid & klt.converged
+        n_tracked = int(tracked.sum())
+        if n_tracked < o.init_min_features:
+            # Lost the reference — restart from this frame.
+            self.status = Status.NOT_READY
+            return self._start_init(pyr)
+        self.init_track_px = klt.xy  # warm start for the next frame
+        disp = jnp.linalg.norm(klt.xy - self.init_feats.px, axis=-1)
+        mean_disp = float(jnp.where(tracked, disp, 0).sum() / n_tracked)
+        if mean_disp < o.init_min_disparity:
+            return TrackResult(Status.INITING, SE3.identity())
+        out = self._jit_init(
+            self.init_feats.px, klt.xy, tracked,
+            jax.random.key(self.frame_id),
+        )
+        if not bool(out.success):
+            return TrackResult(Status.INITING, SE3.identity())
+        # Two-view BA + rescale to mean depth 1 (:148-151, :261-275).
+        res = self._jit_two_view_ba(
+            SE3.identity(), out.T21, out.points3d,
+            self.init_feats.px, klt.xy, out.good,
+        )
+        inl = res.inlier
+        if int(inl.sum()) < o.init_min_inliers:
+            return TrackResult(Status.INITING, SE3.identity())
+        T2 = jax.tree.map(lambda a: a[1], res.poses)
+        mean_depth = float(
+            jnp.where(inl, res.points[:, 2], 0).sum()
+            / jnp.maximum(inl.sum(), 1)
+        )
+        scale = 1.0 / max(mean_depth, 1e-6)
+        pts = res.points * scale
+        T2 = SE3(T2.R, T2.t * scale)
+        self._create_initial_map(pyr, klt.xy, pts, inl, T2)
+        self.status = Status.GOOD
+        return TrackResult(Status.GOOD, T2, int(inl.sum()))
+
+    def _create_initial_map(self, pyr, cur_px, pts, inl, T2):
+        o, srv = self.o, self.server
+        feats = self.init_feats
+        Fcap = o.map_F
+        N = feats.px.shape[0]
+        # Landmark rows 0..N-1 (first allocation, map is empty).
+        rows = jnp.arange(N, dtype=jnp.int32)
+        T1 = SE3.identity()
+
+        # Keyframe 0 (the init reference frame).
+        pad = Fcap - N
+        def padded(x, fill=0):
+            return jnp.concatenate(
+                [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)]
+            )
+        z1 = T1.apply(pts)[:, 2]
+        slot0 = srv.register_keyframe(
+            0, T1,
+            padded(feats.px), padded(feats.level), padded(feats.angle),
+            padded(feats.desc), padded(jnp.where(inl, z1, -1.0), -1.0),
+            padded(jnp.where(inl, rows, -1), -1),
+            padded(inl, False),
+        )
+        srv.state = ms.add_landmarks(
+            srv.state, rows, inl, pts, feats.desc,
+            slot0, ref_feat=slot0 * Fcap + rows,
+        )
+        # Keyframe 1 (current frame).
+        z2 = T2.apply(pts)[:, 2]
+        slot1 = srv.register_keyframe(
+            self.frame_id, T2,
+            padded(cur_px), padded(feats.level), padded(feats.angle),
+            padded(feats.desc), padded(jnp.where(inl, z2, -1.0), -1.0),
+            padded(jnp.where(inl, rows, -1), -1),
+            padded(inl, False),
+        )
+        self.kf_images = self.kf_images.at[slot0].set(self.init_pyr[0])
+        self.kf_images = self.kf_images.at[slot1].set(pyr[0])
+        srv.refresh_covisibility()
+        # First local BA with both init keyframes fixed (gauge + scale).
+        fixed = jnp.zeros(o.map_K, bool).at[slot0].set(True).at[slot1].set(True)
+        srv.state, _ = self._jit_mapping(srv.state, fixed)
+        # Frame bookkeeping.
+        L = o.map_L
+        found = jnp.zeros(L, bool).at[rows].set(inl)
+        obs = jnp.zeros((L, 2), jnp.float32).at[rows].set(cur_px)
+        self.prev_pyr = pyr
+        self.prev_T_cw = T2
+        self.T_cw = T2
+        self.prev_found = found
+        self.prev_obs_px = obs
+        self.velocity = SE3.identity()
+        self.last_kf_slot = slot1
+        self.frames_since_kf = 0
+
+    # -- GOOD -----------------------------------------------------------
+    def _track_frame(self, pyr):
+        o = self.o
+        T_pred = self.velocity.compose(self.prev_T_cw)
+        tm, new_state, align_ok = self._jit_track(
+            self.prev_pyr, pyr,
+            self.prev_T_cw.params7(), T_pred.params7(),
+            self.server.state, self.kf_images,
+            self.prev_found, self.prev_obs_px,
+        )
+        n_inl = int(tm.n_inliers)
+        if n_inl < o.min_track_inliers:
+            self.status = Status.LOST
+            self.lost_count = 0
+            return TrackResult(Status.LOST, self.T_cw, n_inl)
+        self.server.state = new_state
+        T_cw = tm.T_cw
+        self.velocity = T_cw.compose(self.prev_T_cw.inverse())
+        self.prev_pyr = pyr
+        self.prev_T_cw = T_cw
+        self.T_cw = T_cw
+        self.prev_found = tm.found
+        self.prev_obs_px = tm.obs_px
+        self.frames_since_kf += 1
+        if self._need_keyframe(T_cw):
+            self._insert_keyframe(pyr, T_cw, tm)
+        return TrackResult(Status.GOOD, T_cw, n_inl)
+
+    def _need_keyframe(self, T_cw) -> bool:
+        """NeedNewKeyFrame (:304-321): >= min frames since the last KF
+        AND motion beyond rotation/translation thresholds."""
+        o = self.o
+        if self.frames_since_kf < o.kf_min_frames:
+            return False
+        T_kf = self.server.state.kf_pose(self.last_kf_slot)
+        delta = se3m.log(T_cw.compose(T_kf.inverse()))
+        trans = float(jnp.linalg.norm(delta[:3]))
+        rot = float(jnp.linalg.norm(delta[3:]))
+        return rot > o.kf_max_rot or trans > o.kf_max_trans
+
+    def _insert_keyframe(self, pyr, T_cw, tm):
+        """SetKeyframe (:182-218) + the synchronous mapping pass
+        (LocalMapping::Run, LocalMapping.cpp:301-336)."""
+        o, srv = self.o, self.server
+        L, Fcap = o.map_L, o.map_F
+        mstate = srv.state
+        # --- feature table: half landmark observations, half new ---
+        Fl = Fcap // 2
+        Fn = Fcap - Fl
+        found_i = tm.found.astype(jnp.int32)
+        _, top_rows = jax.lax.top_k(
+            found_i * (1 + mstate.pt_obs), Fl
+        )
+        lm_rows = top_rows.astype(jnp.int32)
+        lm_ok = tm.found[lm_rows]
+        lm_px = tm.obs_px[lm_rows]
+        z = T_cw.apply(mstate.pt_pos[lm_rows])[:, 2]
+        # --- new detections away from tracked landmarks ---
+        feats = self._jit_detect(pyr, lm_px, lm_ok)
+        new_px = feats.px[:Fn]
+        new_valid = feats.valid[:Fn]
+        new_desc = feats.desc[:Fn]
+        new_level = feats.level[:Fn]
+        new_angle = feats.angle[:Fn]
+        # --- triangulate new features vs the last keyframe ---
+        pos_w, good, _ = self._jit_triangulate(
+            mstate, new_px, new_desc, new_valid,
+            T_cw.params7(), self.last_kf_slot,
+        )
+        rows_np = srv.alloc_landmark_rows(Fn)
+        n_free = len(rows_np)
+        rows = jnp.full(Fn, L - 1, jnp.int32)
+        if n_free:
+            rows = rows.at[:n_free].set(jnp.asarray(rows_np))
+        can_write = good & (jnp.arange(Fn) < n_free)
+        # --- assemble the keyframe's feature table ---
+        feat_px = jnp.concatenate([lm_px, new_px])
+        feat_level = jnp.concatenate(
+            [jnp.zeros(Fl, jnp.int32), new_level]
+        )
+        feat_angle = jnp.concatenate([jnp.zeros(Fl), new_angle])
+        feat_desc = jnp.concatenate([mstate.pt_desc[lm_rows], new_desc])
+        z_new = T_cw.apply(pos_w)[:, 2]
+        feat_depth = jnp.concatenate(
+            [jnp.where(lm_ok, z, -1.0), jnp.where(can_write, z_new, -1.0)]
+        )
+        feat_point = jnp.concatenate(
+            [jnp.where(lm_ok, lm_rows, -1),
+             jnp.where(can_write, rows, -1)]
+        )
+        feat_valid = jnp.concatenate([lm_ok, new_valid])
+        slot = srv.register_keyframe(
+            self.frame_id, T_cw, feat_px, feat_level, feat_angle,
+            feat_desc, feat_depth, feat_point, feat_valid,
+        )
+        # New landmarks reference their creating feature's patch.
+        srv.state = ms.add_landmarks(
+            srv.state, rows, can_write, pos_w, new_desc, slot,
+            ref_feat=slot * Fcap + Fl + jnp.arange(Fn, dtype=jnp.int32),
+        )
+        self.kf_images = self.kf_images.at[slot].set(pyr[0])
+        # --- mapping pass: covisibility + local BA + culling ---
+        fixed = jnp.zeros(o.map_K, bool)
+        oldest = self.server.kf_used[0]
+        fixed = fixed.at[oldest].set(True)
+        if len(self.server.kf_used) > 1:
+            fixed = fixed.at[self.server.kf_used[1]].set(True)
+        srv.refresh_covisibility()
+        srv.state, _ = self._jit_mapping(srv.state, fixed)
+        self.last_kf_slot = slot
+        self.frames_since_kf = 0
+        # Update prev bookkeeping so tracking continues against the
+        # BA-refined state.
+        self.prev_T_cw = srv.state.kf_pose(slot)
+        self.T_cw = self.prev_T_cw
+
+    # -- LOST -----------------------------------------------------------
+    def _handle_lost(self, pyr):
+        """Relocalization TODO in the reference (:101-104); here: retry
+        tracking against the last keyframe with the motion model reset,
+        then hard-reset after `lost_reset_frames` failures."""
+        self.lost_count += 1
+        self.velocity = SE3.identity()
+        tm, new_state, _ = self._jit_track(
+            self.prev_pyr, pyr,
+            self.prev_T_cw.params7(), self.prev_T_cw.params7(),
+            self.server.state, self.kf_images,
+            self.prev_found, self.prev_obs_px,
+        )
+        if int(tm.n_inliers) >= self.o.min_track_inliers:
+            self.status = Status.GOOD
+            self.server.state = new_state
+            self.prev_pyr = pyr
+            self.prev_T_cw = tm.T_cw
+            self.T_cw = tm.T_cw
+            self.prev_found = tm.found
+            self.prev_obs_px = tm.obs_px
+            return TrackResult(Status.GOOD, tm.T_cw, int(tm.n_inliers))
+        if self.lost_count > self.o.lost_reset_frames:
+            self.reset()
+        return TrackResult(Status.LOST, self.T_cw)
+
+    def reset(self):
+        """Full reset (System::Reset surface)."""
+        o = self.o
+        self.server = MapServer(o.map_K, o.map_F, o.map_L)
+        self.status = Status.NOT_READY
+        self.T_cw = SE3.identity()
+        self.velocity = SE3.identity()
+        self.prev_pyr = None
+        self.init_pyr = None
+        self.frames_since_kf = 0
+        self.last_kf_slot = -1
+        self.lost_count = 0
