@@ -1,0 +1,119 @@
+"""System layer tests: config, trajectory IO + ATE/RPE, System facade
+(monocular + RGBD), map save/load."""
+import os
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ygz_slam_tpu.geometry import SE3, PinholeCamera, se3, so3
+from ygz_slam_tpu.system import System, Sensor, Config
+from ygz_slam_tpu.system import trajectory as traj
+from ygz_slam_tpu.system.config import camera_from_config, apply_to, VO_CONFIG_KEYS
+from ygz_slam_tpu.models import VOOptions, Status
+from ygz_slam_tpu.utils.datasets import SyntheticDataset
+
+CAM = PinholeCamera.create(320.0, 320.0, 160.0, 120.0)
+
+
+class TestConfig:
+    def test_yaml_roundtrip(self, tmp_path):
+        p = tmp_path / "cfg.yaml"
+        p.write_text(
+            "camera:\n  fx: 321.0\n  fy: 322.0\n  cx: 160.0\n  cy: 120.0\n"
+            "init:\n  min_features: 55\n"
+        )
+        Config.set_parameter_file(str(p))
+        assert Config.get("camera.fx") == 321.0
+        assert Config.get("init.min_features") == 55
+        assert Config.get("missing.key", 7) == 7
+        cam = camera_from_config()
+        assert float(cam.fx) == 321.0
+        opts = apply_to(VOOptions(), VO_CONFIG_KEYS)
+        assert opts.init_min_features == 55
+        Config.clear()
+
+    def test_flat_keys(self):
+        Config.set_dict({"camera.fx": 500.0})
+        assert Config.get("camera.fx") == 500.0
+        Config.clear()
+
+
+class TestTrajectory:
+    def test_tum_roundtrip(self, tmp_path):
+        stamps = [0.0, 1.0, 2.0]
+        poses = [
+            se3.exp(jnp.asarray([0.1 * k, 0, 0, 0, 0.05 * k, 0], jnp.float32))
+            for k in range(3)
+        ]
+        p = tmp_path / "traj.txt"
+        traj.save_tum(str(p), stamps, poses)
+        s2, p2 = traj.load_tum(str(p))
+        np.testing.assert_allclose(s2, stamps)
+        for a, b in zip(poses, p2):
+            assert float(se3.distance(a, b)) < 1e-4
+
+    def test_ate_zero_for_similarity(self):
+        rng = np.random.default_rng(0)
+        gt = rng.normal(size=(50, 3))
+        R = np.asarray(so3.exp(jnp.asarray([0.3, -0.2, 0.5], jnp.float32)))
+        est = 0.5 * (gt @ R.T) + np.array([1.0, 2.0, 3.0])
+        # est is a similarity transform of gt -> ATE after alignment ~ 0.
+        assert traj.ate_rmse(est, gt) < 1e-5
+
+    def test_rpe(self):
+        poses = [
+            se3.exp(jnp.asarray([0.1 * k, 0, 0, 0, 0, 0], jnp.float32))
+            for k in range(10)
+        ]
+        t_err, r_err = traj.rpe_rmse(poses, poses)
+        assert t_err < 1e-6 and r_err < 1e-6
+
+
+class TestSystemFacade:
+    def test_stereo_unimplemented(self):
+        with pytest.raises(NotImplementedError):
+            System(camera=CAM, sensor=Sensor.STEREO)
+
+    def test_rgbd_tracks(self):
+        ds = SyntheticDataset(CAM, n_frames=16, shape=(240, 320),
+                              with_depth=True, motion_scale=0.5)
+        sys_ = System(camera=CAM, sensor=Sensor.RGBD,
+                      options=VOOptions(kf_min_frames=5, kf_max_trans=0.05))
+        est, gt = [], []
+        for fd in ds:
+            r = sys_.track_rgbd(fd.gray, fd.depth, fd.timestamp)
+            if r.status == Status.GOOD:
+                est.append(np.asarray(-(r.T_cw.R.T @ r.T_cw.t)))
+                gt.append(np.asarray(-(fd.T_cw_gt.R.T @ fd.T_cw_gt.t)))
+        assert len(est) >= 12, f"RGBD tracked only {len(est)} frames"
+        # RGBD has metric scale: rigid (no-scale) ATE must be small.
+        ate = traj.ate_rmse(np.array(est), np.array(gt), with_scale=False)
+        assert ate < 0.03, ate
+
+    def test_save_trajectory_and_map(self, tmp_path):
+        ds = SyntheticDataset(CAM, n_frames=14, shape=(240, 320),
+                              with_depth=True, motion_scale=0.5)
+        sys_ = System(camera=CAM, sensor=Sensor.RGBD,
+                      options=VOOptions(kf_min_frames=5, kf_max_trans=0.05))
+        for fd in ds:
+            sys_.track_rgbd(fd.gray, fd.depth, fd.timestamp)
+        tpath = tmp_path / "traj.txt"
+        mpath = tmp_path / "map.npz"
+        sys_.save_trajectory(str(tpath))
+        sys_.save_map(str(mpath))
+        s, p = traj.load_tum(str(tpath))
+        assert len(s) >= 12
+        # Load the map into a fresh system.
+        sys2 = System(camera=CAM, sensor=Sensor.RGBD,
+                      options=VOOptions(kf_min_frames=5))
+        sys2.load_map(str(mpath))
+        m1, m2 = sys_.vo.server.state, sys2.vo.server.state
+        assert int(m2.pt_valid.sum()) == int(m1.pt_valid.sum())
+        np.testing.assert_allclose(
+            np.asarray(m2.kf_pose7), np.asarray(m1.kf_pose7)
+        )
+        assert sys2.vo.server.kf_used == sys_.vo.server.kf_used
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])

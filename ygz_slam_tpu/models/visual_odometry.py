@@ -207,16 +207,25 @@ class VisualOdometry:
         self._jit_mapping = _mapping
 
     # ------------------------------------------------------------------
-    def add_frame(self, img, timestamp: float = 0.0) -> TrackResult:
-        """Main entry (VisualOdometry::AddFrame dispatch, :38-107)."""
+    def add_frame(self, img, timestamp: float = 0.0, depth=None) -> TrackResult:
+        """Main entry (VisualOdometry::AddFrame dispatch, :38-107).
+
+        With a `depth` image (RGBD sensor), initialization is direct:
+        the first frame becomes a keyframe with depth-initialized
+        landmarks (no monocular bootstrap), and keyframe insertion
+        reads new-feature depths from the sensor."""
         self.frame_id += 1
         pyr = fe.preprocess(jnp.asarray(img), self.o.n_levels)
+        self.cur_depth = None if depth is None else jnp.asarray(depth)
         if self.kf_images is None:
             H, W = pyr[0].shape
             self.kf_images = jnp.zeros((self.o.map_K, H, W), jnp.float32)
 
         if self.status == Status.NOT_READY:
-            res = self._start_init(pyr)
+            if depth is not None:
+                res = self._init_rgbd(pyr)
+            else:
+                res = self._start_init(pyr)
         elif self.status == Status.INITING:
             res = self._try_init(pyr)
         elif self.status == Status.GOOD:
@@ -239,6 +248,53 @@ class VisualOdometry:
         self.init_track_px = feats.px
         self.status = Status.INITING
         return TrackResult(Status.INITING, SE3.identity())
+
+    def _init_rgbd(self, pyr):
+        """RGBD bootstrap: depth-initialized landmarks from frame 0
+        (the capability the legacy System promised via TrackRGBD,
+        system.h:53-57, never implemented there)."""
+        o, srv = self.o, self.server
+        feats = self._jit_detect_free(pyr)
+        ui = jnp.clip(feats.px[:, 0].astype(jnp.int32), 0, pyr[0].shape[1] - 1)
+        vi = jnp.clip(feats.px[:, 1].astype(jnp.int32), 0, pyr[0].shape[0] - 1)
+        z = self.cur_depth[vi, ui]
+        ok = feats.valid & (z > 0.05) & jnp.isfinite(z)
+        if int(ok.sum()) < o.init_min_features // 2:
+            return TrackResult(Status.NOT_READY, SE3.identity())
+        T1 = SE3.identity()
+        pts = self.cam.pixel_to_world(feats.px, T1, depth=z)
+        N = feats.px.shape[0]
+        rows = jnp.arange(N, dtype=jnp.int32)
+        Fcap = o.map_F
+        pad = Fcap - N
+        def padded(x, fill=0):
+            return jnp.concatenate(
+                [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)]
+            )
+        slot0 = srv.register_keyframe(
+            self.frame_id, T1,
+            padded(feats.px), padded(feats.level), padded(feats.angle),
+            padded(feats.desc), padded(jnp.where(ok, z, -1.0), -1.0),
+            padded(jnp.where(ok, rows, -1), -1),
+            padded(ok, False),
+        )
+        srv.state = ms.add_landmarks(
+            srv.state, rows, ok, pts, feats.desc, slot0,
+            ref_feat=slot0 * Fcap + rows,
+        )
+        self.kf_images = self.kf_images.at[slot0].set(pyr[0])
+        srv.refresh_covisibility()
+        L = o.map_L
+        self.prev_pyr = pyr
+        self.prev_T_cw = T1
+        self.T_cw = T1
+        self.prev_found = jnp.zeros(L, bool).at[rows].set(ok)
+        self.prev_obs_px = jnp.zeros((L, 2), jnp.float32).at[rows].set(feats.px)
+        self.velocity = SE3.identity()
+        self.last_kf_slot = slot0
+        self.frames_since_kf = 0
+        self.status = Status.GOOD
+        return TrackResult(Status.GOOD, T1, int(ok.sum()))
 
     # -- INITING --------------------------------------------------------
     def _try_init(self, pyr):
@@ -407,6 +463,16 @@ class VisualOdometry:
             mstate, new_px, new_desc, new_valid,
             T_cw.params7(), self.last_kf_slot,
         )
+        if getattr(self, "cur_depth", None) is not None:
+            # RGBD: sensor depth overrides/extends triangulation.
+            Himg, Wimg = self.cur_depth.shape
+            ui = jnp.clip(new_px[:, 0].astype(jnp.int32), 0, Wimg - 1)
+            vi = jnp.clip(new_px[:, 1].astype(jnp.int32), 0, Himg - 1)
+            zd = self.cur_depth[vi, ui]
+            dok = new_valid & (zd > 0.05) & jnp.isfinite(zd)
+            pos_d = self.cam.pixel_to_world(new_px, T_cw, depth=zd)
+            pos_w = jnp.where(dok[:, None], pos_d, pos_w)
+            good = dok | good
         rows_np = srv.alloc_landmark_rows(Fn)
         n_free = len(rows_np)
         rows = jnp.full(Fn, L - 1, jnp.int32)

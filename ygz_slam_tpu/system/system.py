@@ -1,0 +1,103 @@
+"""System facade: the user-facing entry point.
+
+Implements the surface the reference *declared* but left empty
+(include/ygz/system.h:14-86, src/system.cpp:90-111 and the stub
+include/ygz/System/System.h:6-8): config-driven construction with
+sensor type switching, TrackMonocular/TrackRGBD, Reset, Shutdown,
+SaveTrajectory and actual SaveMap/LoadMap (npz over the tensor
+MapState — the reference never implemented these).
+
+Sensor support: MONOCULAR (full), RGBD (depth-initialized landmarks,
+no monocular bootstrap), STEREO declared-but-unimplemented exactly as
+in the reference (system.h:19-21 lists it; no code path exists there
+either).
+"""
+from __future__ import annotations
+
+import enum
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..geometry.se3 import SE3
+from ..map import state as ms
+from ..models.visual_odometry import VisualOdometry, VOOptions, Status
+from .config import Config, camera_from_config, apply_to, VO_CONFIG_KEYS
+from . import trajectory as traj
+
+
+class Sensor(enum.Enum):
+    MONOCULAR = 0
+    STEREO = 1
+    RGBD = 2
+
+
+class System:
+    """Facade wiring config -> camera -> VO (legacy system.h:45-67)."""
+
+    def __init__(self, config_file: str | None = None, camera=None,
+                 sensor: Sensor = Sensor.MONOCULAR,
+                 options: VOOptions | None = None):
+        if config_file:
+            Config.set_parameter_file(config_file)
+            sensor_key = Config.get("system.sensor")
+            if sensor_key is not None:
+                sensor = Sensor[str(sensor_key).upper()]
+        self.sensor = sensor
+        if sensor == Sensor.STEREO:
+            raise NotImplementedError(
+                "STEREO is declared but unimplemented (matching the "
+                "reference, include/ygz/system.h:19-21); use MONOCULAR "
+                "or RGBD"
+            )
+        cam = camera_from_config(default=camera)
+        if cam is None:
+            raise ValueError("no camera: pass `camera` or camera.* config")
+        opts = options or VOOptions()
+        if config_file:
+            opts = apply_to(opts, VO_CONFIG_KEYS)
+        self.vo = VisualOdometry(cam, opts)
+        self._shutdown = False
+
+    # -- tracking entry points (system.h:45-57) -------------------------
+    def track_monocular(self, img, timestamp: float):
+        assert self.sensor == Sensor.MONOCULAR
+        return self.vo.add_frame(img, timestamp)
+
+    def track_rgbd(self, img, depth, timestamp: float):
+        assert self.sensor == Sensor.RGBD
+        return self.vo.add_frame(img, timestamp, depth=depth)
+
+    def reset(self):
+        self.vo.reset()
+
+    def shutdown(self):
+        self._shutdown = True
+
+    @property
+    def status(self) -> Status:
+        return self.vo.status
+
+    # -- persistence (system.h:63-67 — unimplemented there) -------------
+    def save_trajectory(self, path: str):
+        stamps = [t for t, _ in self.vo.trajectory]
+        poses = [p for _, p in self.vo.trajectory]
+        traj.save_tum(path, stamps, poses)
+
+    def save_map(self, path: str):
+        """Serialize the full MapState + server bookkeeping to npz."""
+        m = self.vo.server.state
+        arrays = {f: np.asarray(getattr(m, f)) for f in m._fields}
+        arrays["__kf_used"] = np.asarray(self.vo.server.kf_used, np.int32)
+        arrays["__next_frame_id"] = np.asarray(
+            [self.vo.server.next_frame_id], np.int32
+        )
+        np.savez_compressed(path, **arrays)
+
+    def load_map(self, path: str):
+        data = np.load(path)
+        m = self.vo.server.state
+        fields = {f: jnp.asarray(data[f]) for f in m._fields}
+        self.vo.server.state = ms.MapState(**fields)
+        self.vo.server.kf_used = [int(x) for x in data["__kf_used"]]
+        self.vo.server.next_frame_id = int(data["__next_frame_id"][0])
