@@ -18,6 +18,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from . import state as ms
+from .. import native
 
 
 class MapServer:
@@ -29,20 +30,19 @@ class MapServer:
 
     # -- slot allocation ------------------------------------------------
     def alloc_kf_slot(self, current_slot: int | None = None) -> int:
-        """Free slot, or evict the least-covisible-with-current slot."""
-        used = set(self.kf_used)
-        for s in range(self.Kcap):
-            if s not in used:
-                return s
+        """Free slot, or evict the least-covisible-with-current slot
+        (native ms_alloc_kf_slot with a NumPy fallback)."""
+        used = np.zeros(self.Kcap, np.uint8)
+        used[list(self.kf_used)] = 1
+        ref = current_slot if current_slot is not None else (
+            self.kf_used[-1] if self.kf_used else 0
+        )
+        newest = self.kf_used[-1] if self.kf_used else 0
         cov = np.asarray(self.state.cov_weight)
-        ref = current_slot if current_slot is not None else self.kf_used[-1]
-        # Never evict the reference or the newest keyframe.
-        protect = {ref, self.kf_used[-1]}
-        cands = [s for s in self.kf_used if s not in protect]
-        weights = [cov[ref, s] for s in cands]
-        victim = cands[int(np.argmin(weights))]
-        self.evict_kf(victim)
-        return victim
+        slot, evicted = native.alloc_kf_slot(used, cov, ref, newest)
+        if evicted:
+            self.evict_kf(slot)
+        return slot
 
     def evict_kf(self, slot: int):
         m = self.state
@@ -58,10 +58,10 @@ class MapServer:
         self.kf_used.remove(slot)
 
     def alloc_landmark_rows(self, n: int) -> np.ndarray:
-        """Up to n free landmark rows (host pulls the valid mask)."""
+        """Up to n free landmark rows (native scan of the validity
+        bitmap pulled from device)."""
         valid = np.asarray(self.state.pt_valid)
-        free = np.where(~valid)[0]
-        return free[:n].astype(np.int32)
+        return native.free_rows(valid, n)
 
     def register_keyframe(self, *args, **kwargs) -> int:
         """insert_keyframe into an allocated slot; returns the slot."""

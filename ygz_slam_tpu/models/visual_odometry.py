@@ -37,6 +37,38 @@ from ..solvers import initializer as init_mod
 from ..solvers import ba as bam
 from . import frontend as fe
 from . import local_mapping as lm
+from . import relocalization as reloc
+from ..map import vocabulary as voc
+
+
+_VOCAB_CACHE = {}
+
+
+def _shared_vocabulary(k: int = 8, depth: int = 3):
+    """Process-wide ORB vocabulary trained once on synthetic textures
+    (the reference loads a pretrained ORBvoc.bin, which is a missing
+    blob in its tree; training here is deterministic and fast at this
+    size)."""
+    key = (k, depth)
+    if key not in _VOCAB_CACHE:
+        import numpy as _np
+        from ..ops import fast as _fast, orb as _orb
+        from ..utils.synthetic import PlaneScene as _PS
+        from ..geometry import PinholeCamera as _PC
+        from ..geometry.se3 import SE3 as _SE3
+
+        cam = _PC.create(320.0, 320.0, 160.0, 120.0)
+        descs = []
+        for i in range(4):
+            scene = _PS(cam, plane_z=3.0, seed=1000 + i)
+            img = scene.render(_SE3.identity(), (240, 320))
+            c = _fast.detect(img, 20.0, cell=12, max_corners=200)
+            _, d = _orb.compute(img, c.xy)
+            descs.append(_np.asarray(d)[_np.asarray(c.mask)])
+        _VOCAB_CACHE[key] = voc.train(
+            _np.concatenate(descs), k=k, depth=depth, iters=4
+        )
+    return _VOCAB_CACHE[key]
 
 
 class Status(Enum):
@@ -68,6 +100,10 @@ class VOOptions:
     map_L: int = 2000
     local_ba_iters: int = 8
     lost_reset_frames: int = 10
+    use_vocabulary: bool = True       # BoW for reloc + loop closing
+    reloc_min_inliers: int = 20
+    loop_closing: bool = True         # detect+close loops at keyframes
+    loop_min_inliers: int = 25
 
 
 @dataclasses.dataclass
@@ -100,6 +136,12 @@ class VisualOdometry:
         self.frame_id = -1
         self.lost_count = 0
         self.trajectory: list[tuple[float, np.ndarray]] = []
+        self.vocab = _shared_vocabulary() if self.o.use_vocabulary else None
+        if self.vocab is not None:
+            self.kf_bow = jnp.zeros(
+                (o.map_K, self.vocab.n_words), jnp.float32
+            )
+            self.kf_nodes = jnp.full((o.map_K, o.map_F), -1, jnp.int32)
         self._build_jits()
 
     # ------------------------------------------------------------------
@@ -112,6 +154,11 @@ class VisualOdometry:
                 pyr, o.detect_threshold, o.grid_cell, o.feat_budgets,
                 existing_px, existing_mask,
             )
+
+        @jax.jit
+        def _describe_at(img, px):
+            from ..ops import orb as orb_mod
+            return orb_mod.compute(img, px)
 
         @jax.jit
         def _detect_free(pyr):
@@ -197,7 +244,53 @@ class VisualOdometry:
             mstate = ms.update_covisibility(mstate)
             return mstate, chi2
 
+        if self.vocab is not None:
+            vocab = self.vocab
+
+            @jax.jit
+            def _kf_bow(desc, valid):
+                words, nodes = voc.transform(vocab, desc, valid)
+                return voc.bow_vector(vocab, words, valid), nodes
+
+            @jax.jit
+            def _reloc(q_desc, q_px, q_valid, kf_bow, kf_nodes, mstate):
+                return reloc.relocalize(
+                    vocab, cam, q_desc, q_px, q_valid,
+                    kf_bow, mstate.kf_valid, mstate.kf_pose7,
+                    mstate.feat_desc.reshape(-1, 8),
+                    kf_nodes.reshape(-1),
+                    mstate.feat_point.reshape(-1),
+                    mstate.feat_valid.reshape(-1),
+                    mstate.pt_pos, mstate.pt_valid,
+                    min_inliers=o.reloc_min_inliers,
+                )
+
+            @jax.jit
+            def _loop(new_slot, kf_bow, kf_nodes, mstate):
+                lp = reloc.detect_loop(
+                    vocab, cam, new_slot, kf_bow, mstate.kf_valid,
+                    mstate.kf_pose7, mstate.cov_weight,
+                    mstate.feat_desc.reshape(-1, 8),
+                    kf_nodes.reshape(-1),
+                    mstate.feat_px.reshape(-1, 2),
+                    mstate.feat_point.reshape(-1),
+                    mstate.feat_valid.reshape(-1),
+                    mstate.pt_pos, mstate.pt_valid,
+                    min_inliers=o.loop_min_inliers,
+                )
+                pose7, pts, chi2 = reloc.close_loop(
+                    mstate.kf_pose7, mstate.kf_valid, mstate.cov_weight,
+                    mstate.pt_pos, mstate.pt_valid, mstate.pt_first_kf,
+                    new_slot, lp,
+                )
+                return lp, mstate._replace(kf_pose7=pose7, pt_pos=pts)
+
+            self._jit_kf_bow = _kf_bow
+            self._jit_reloc = _reloc
+            self._jit_loop = _loop
+
         self._jit_detect = _detect
+        self._jit_describe_at = _describe_at
         self._jit_detect_free = _detect_free
         self._jit_klt = _klt
         self._jit_init = _init
@@ -283,6 +376,7 @@ class VisualOdometry:
             ref_feat=slot0 * Fcap + rows,
         )
         self.kf_images = self.kf_images.at[slot0].set(pyr[0])
+        self._store_bow(slot0, padded(feats.desc), padded(ok, False))
         srv.refresh_covisibility()
         L = o.map_L
         self.prev_pyr = pyr
@@ -366,17 +460,23 @@ class VisualOdometry:
             srv.state, rows, inl, pts, feats.desc,
             slot0, ref_feat=slot0 * Fcap + rows,
         )
-        # Keyframe 1 (current frame).
+        # Keyframe 1 (current frame): descriptors recomputed on ITS
+        # image at the tracked positions (creation-frame descriptors
+        # degrade BoW relocalization against this keyframe).
+        from ..ops import orb as orb_mod
+        ang2, desc2 = orb_mod.compute(pyr[0], cur_px)
         z2 = T2.apply(pts)[:, 2]
         slot1 = srv.register_keyframe(
             self.frame_id, T2,
-            padded(cur_px), padded(feats.level), padded(feats.angle),
-            padded(feats.desc), padded(jnp.where(inl, z2, -1.0), -1.0),
+            padded(cur_px), padded(feats.level), padded(ang2),
+            padded(desc2), padded(jnp.where(inl, z2, -1.0), -1.0),
             padded(jnp.where(inl, rows, -1), -1),
             padded(inl, False),
         )
         self.kf_images = self.kf_images.at[slot0].set(self.init_pyr[0])
         self.kf_images = self.kf_images.at[slot1].set(pyr[0])
+        self._store_bow(slot0, padded(feats.desc), padded(inl, False))
+        self._store_bow(slot1, padded(desc2), padded(inl, False))
         srv.refresh_covisibility()
         # First local BA with both init keyframes fixed (gauge + scale).
         fixed = jnp.zeros(o.map_K, bool).at[slot0].set(True).at[slot1].set(True)
@@ -484,8 +584,12 @@ class VisualOdometry:
         feat_level = jnp.concatenate(
             [jnp.zeros(Fl, jnp.int32), new_level]
         )
-        feat_angle = jnp.concatenate([jnp.zeros(Fl), new_angle])
-        feat_desc = jnp.concatenate([mstate.pt_desc[lm_rows], new_desc])
+        # Landmark-observation rows get descriptors recomputed on THIS
+        # keyframe's image (stale creation-time descriptors degrade
+        # BoW relocalization against later keyframes).
+        lm_angle, lm_desc = self._jit_describe_at(pyr[0], lm_px)
+        feat_angle = jnp.concatenate([lm_angle, new_angle])
+        feat_desc = jnp.concatenate([lm_desc, new_desc])
         z_new = T_cw.apply(pos_w)[:, 2]
         feat_depth = jnp.concatenate(
             [jnp.where(lm_ok, z, -1.0), jnp.where(can_write, z_new, -1.0)]
@@ -499,12 +603,21 @@ class VisualOdometry:
             self.frame_id, T_cw, feat_px, feat_level, feat_angle,
             feat_desc, feat_depth, feat_point, feat_valid,
         )
+        self._store_bow(slot, feat_desc, feat_valid)
         # New landmarks reference their creating feature's patch.
         srv.state = ms.add_landmarks(
             srv.state, rows, can_write, pos_w, new_desc, slot,
             ref_feat=slot * Fcap + Fl + jnp.arange(Fn, dtype=jnp.int32),
         )
         self.kf_images = self.kf_images.at[slot].set(pyr[0])
+        # --- loop closing (LoopClosing placeholder, loop_closing.h) ---
+        if self.vocab is not None and o.loop_closing and len(srv.kf_used) >= 4:
+            srv.refresh_covisibility()
+            lp, new_state = self._jit_loop(
+                jnp.asarray(slot), self.kf_bow, self.kf_nodes, srv.state
+            )
+            if bool(lp.found):
+                srv.state = new_state
         # --- mapping pass: covisibility + local BA + culling ---
         fixed = jnp.zeros(o.map_K, bool)
         oldest = self.server.kf_used[0]
@@ -542,9 +655,44 @@ class VisualOdometry:
             self.prev_found = tm.found
             self.prev_obs_px = tm.obs_px
             return TrackResult(Status.GOOD, tm.T_cw, int(tm.n_inliers))
+        r = self._try_relocalize(pyr)
+        if r is not None:
+            # Relocalized: resume tracking from the recovered pose.
+            self.status = Status.GOOD
+            self.prev_pyr = pyr
+            self.prev_T_cw = r.T_cw
+            self.T_cw = r.T_cw
+            L = self.o.map_L
+            self.prev_found = jnp.zeros(L, bool)
+            self.prev_obs_px = jnp.zeros((L, 2), jnp.float32)
+            self.velocity = SE3.identity()
+            return TrackResult(Status.GOOD, r.T_cw, int(r.n_inliers))
         if self.lost_count > self.o.lost_reset_frames:
             self.reset()
         return TrackResult(Status.LOST, self.T_cw)
+
+    def _store_bow(self, slot, feat_desc, feat_valid):
+        """Frame::ComputeBoW equivalent at keyframe registration
+        (src/Basic/Frame.cpp:190-201)."""
+        if self.vocab is None:
+            return
+        bow, nodes = self._jit_kf_bow(feat_desc, feat_valid)
+        self.kf_bow = self.kf_bow.at[slot].set(bow)
+        self.kf_nodes = self.kf_nodes.at[slot].set(nodes)
+
+    def _try_relocalize(self, pyr):
+        """BoW relocalization (closes the reference's TODO at
+        VisualOdometry.cpp:101-104)."""
+        if self.vocab is None:
+            return None
+        feats = self._jit_detect_free(pyr)
+        r = self._jit_reloc(
+            feats.desc, feats.px, feats.valid,
+            self.kf_bow, self.kf_nodes, self.server.state,
+        )
+        if not bool(r.success):
+            return None
+        return r
 
     def reset(self):
         """Full reset (System::Reset surface)."""
@@ -558,3 +706,6 @@ class VisualOdometry:
         self.frames_since_kf = 0
         self.last_kf_slot = -1
         self.lost_count = 0
+        if self.vocab is not None:
+            self.kf_bow = jnp.zeros_like(self.kf_bow)
+            self.kf_nodes = jnp.full_like(self.kf_nodes, -1)

@@ -73,8 +73,12 @@ def align2d(
     Hinv = jnp.linalg.inv(H3 + 1e-6 * jnp.eye(3))
     gx, gy = _patch_grid(patch, cur_img.dtype)
 
-    def body(_, state):
-        xy, mean_diff, active = state
+    def cond(state):
+        _, _, active, it = state
+        return jnp.any(active) & (it < n_iter)
+
+    def body(state):
+        xy, mean_diff, active, it = state
         coords = jnp.stack(
             [
                 xy[:, 0, None, None] + gx[None],
@@ -92,13 +96,17 @@ def align2d(
         still = active & (step >= conv_eps)
         xy = jnp.where(active[:, None], xy_new, xy)
         mean_diff = jnp.where(active, mean_new, mean_diff)
-        return xy, mean_diff, still
+        return xy, mean_diff, still, it + 1
 
     xy0 = xy_init.astype(cur_img.dtype)
     inb0 = in_bounds(xy0, H, W, margin=patch / 2 + 2)
     xy0 = jnp.where(inb0[:, None], xy0, jnp.full_like(xy0, patch + 2.0))
-    state = (xy0, jnp.zeros(N, cur_img.dtype), inb0)
-    xy, mean_diff, active = jax.lax.fori_loop(0, n_iter, body, state)
+    state = (xy0, jnp.zeros(N, cur_img.dtype), inb0,
+             jnp.asarray(0, jnp.int32))
+    # while_loop with an all-converged early exit: typical batches
+    # settle in 3-5 iterations, and the per-iteration gather is the
+    # cost center.
+    xy, mean_diff, active, _ = jax.lax.while_loop(cond, body, state)
     # Final residual for acceptance.
     coords = jnp.stack(
         [xy[:, 0, None, None] + gx[None], xy[:, 1, None, None] + gy[None]],

@@ -137,12 +137,29 @@ def pack_bits(bits: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(b * weights, axis=-1, dtype=jnp.uint32)
 
 
+def blur_for_descriptors(img: jnp.ndarray, passes: int = 2) -> jnp.ndarray:
+    """Gaussian pre-blur before BRIEF sampling (OpenCV ORB blurs with a
+    7x7 sigma=2 kernel; two 5-tap binomial passes approximate it).
+    Without this, single-pixel comparisons flip under subpixel shifts
+    and descriptor repeatability collapses."""
+    from .pyramid import _conv1d
+
+    for _ in range(passes):
+        img = _conv1d(_conv1d(img, 0), 1)
+    return img
+
+
 def compute(
-    img: jnp.ndarray, xy: jnp.ndarray
+    img: jnp.ndarray, xy: jnp.ndarray, pre_blurred: bool = False
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Angles [N] + packed descriptors [N, 8] for keypoints `xy [N, 2]`
-    on one pyramid level (ComputeAngleAndDescriptor equivalent)."""
+    on one pyramid level (ComputeAngleAndDescriptor equivalent).
+
+    Angles use the raw image (moment sums are robust); BRIEF bits
+    sample the blurred image."""
     patches = extract_patches(img, xy, PATCH)
     angles = ic_angle(patches)
-    desc = describe_patches(patches, angles)
+    blurred = img if pre_blurred else blur_for_descriptors(img)
+    patches_b = extract_patches(blurred, xy, PATCH)
+    desc = describe_patches(patches_b, angles)
     return angles, desc

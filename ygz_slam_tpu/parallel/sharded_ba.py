@@ -67,26 +67,36 @@ def partition_observations(
     """
     import numpy as np
 
+    from .. import native
+
     L_pad = ((L + n_shards - 1) // n_shards) * n_shards
     Ls = L_pad // n_shards
     kf_idx = np.asarray(kf_idx)
     pt_idx = np.asarray(pt_idx)
     px = np.asarray(px)
     mask = np.asarray(mask)
-    shard_of = np.where(mask, pt_idx // Ls, -1)
-    counts = [(shard_of == s).sum() for s in range(n_shards)]
-    O_shard = int(max(max(counts), 1))
-    out_kf = np.zeros((n_shards, O_shard), np.int32)
-    out_pt = np.zeros((n_shards, O_shard), np.int32)
-    out_px = np.zeros((n_shards, O_shard, 2), np.float32)
-    out_mask = np.zeros((n_shards, O_shard), bool)
-    for s in range(n_shards):
-        rows = np.where(shard_of == s)[0]
-        n = len(rows)
-        out_kf[s, :n] = kf_idx[rows]
-        out_pt[s, :n] = pt_idx[rows] - s * Ls
-        out_px[s, :n] = px[rows]
-        out_mask[s, :n] = mask[rows]
+    out = native.partition_obs(kf_idx, pt_idx, px, mask, L, n_shards)
+    if out is not None:
+        out_kf, out_pt, out_px, out_mask, _ = out
+    else:  # NumPy fallback when no compiler is available
+        shard_of = np.where(mask, pt_idx // Ls, -1)
+        counts = [(shard_of == s).sum() for s in range(n_shards)]
+        O_shard = int(max(max(counts), 1))
+        out_kf = np.zeros((n_shards, O_shard), np.int32)
+        out_pt = np.zeros((n_shards, O_shard), np.int32)
+        out_px = np.zeros((n_shards, O_shard, 2), np.float32)
+        out_mask = np.zeros((n_shards, O_shard), bool)
+        for s in range(n_shards):
+            rows = np.where(shard_of == s)[0]
+            n = len(rows)
+            out_kf[s, :n] = kf_idx[rows]
+            out_pt[s, :n] = pt_idx[rows] - s * Ls
+            out_px[s, :n] = px[rows]
+            out_mask[s, :n] = mask[rows]
+        out_kf, out_pt, out_px, out_mask = (
+            out_kf.reshape(-1), out_pt.reshape(-1),
+            out_px.reshape(-1, 2), out_mask.reshape(-1),
+        )
     return (
         ShardedObs(
             kf_idx=jnp.asarray(out_kf.reshape(-1)),

@@ -147,7 +147,8 @@ def pose_only_ba(
             return H, b, chi2
 
         T_new, stats = gauss_newton(
-            compute, lambda x, dx: se3m.boxplus(x, dx), T, n_iter=iters_per_round
+            compute, lambda x, dx: se3m.boxplus(x, dx), T,
+            n_iter=iters_per_round, eps=1e-4,
         )
         # Re-classify: chi2 per observation under the new pose.
         p1 = jax.tree.map(lambda a: a[None], T_new)
