@@ -1,0 +1,100 @@
+"""Pallas kernel tests (interpret mode on CPU; the same code compiles
+for TPU where it is dispatched by ops.align / ops.sparse_align).
+
+Regression coverage for the two Mosaic alignment traps found on
+hardware: tile-aligned dynamic-slice origins, and edge-clamp bounds
+that must themselves be tile-aligned (bottom-edge features previously
+read past the super-window -> NaN).
+"""
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.experimental import pallas as pl
+
+from ygz_slam_tpu.ops import hamming
+from ygz_slam_tpu.ops.interp import sample_patches
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    monkeypatch.setattr(
+        pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)
+    )
+
+
+class TestHammingKernel:
+    def test_matches_jnp(self):
+        from ygz_slam_tpu.ops.pallas import hamming_kernel as hk
+
+        rng = np.random.default_rng(0)
+        a = jnp.asarray(rng.integers(0, 2**32, (130, 8), dtype=np.uint32))
+        b = jnp.asarray(rng.integers(0, 2**32, (77, 8), dtype=np.uint32))
+        d1 = hk.distance_matrix_pallas(a, b)
+        d2 = hamming.distance_matrix(a, b)
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+
+class TestWindowKernels:
+    def test_bilinear_patches_matches_and_finite_at_edges(self):
+        from ygz_slam_tpu.ops.pallas import align2d_kernel as ak
+
+        rng = np.random.default_rng(1)
+        for (H, W) in [(480, 640), (120, 160), (479, 641)]:
+            img = jnp.asarray(rng.uniform(0, 255, (H, W)), jnp.float32)
+            cs = np.r_[
+                np.c_[rng.uniform(0, W - 1, 30), rng.uniform(0, H - 1, 30)],
+                [[0, 0], [W - 1, H - 1], [W - 4, H - 2], [2, H - 3]],
+            ]
+            centers = jnp.asarray(cs, jnp.float32)
+            for size in (4, 6, 8):
+                a = ak.bilinear_patches(img, centers, size)
+                assert bool(jnp.isfinite(a).all()), (H, W, size)
+                b = sample_patches(img, centers, size)
+                interior = (
+                    (cs[:, 0] > size) & (cs[:, 0] < W - size)
+                    & (cs[:, 1] > size) & (cs[:, 1] < H - size)
+                )
+                if interior.any():
+                    err = float(jnp.abs(a[interior] - b[interior]).max())
+                    assert err < 0.01, (H, W, size, err)
+
+    def test_wild_coordinates_stay_finite(self):
+        # Masked callers pass behind-camera projections (~1e12) and NaN.
+        from ygz_slam_tpu.ops.pallas import align2d_kernel as ak
+
+        img = jnp.asarray(
+            np.random.default_rng(0).uniform(0, 255, (120, 160)), jnp.float32
+        )
+        centers = jnp.asarray(
+            [[1e12, -1e12], [np.nan, 50.0], [-5.0, 1e9], [80.0, 60.0]],
+            jnp.float32,
+        )
+        out = ak.bilinear_patches(img, centers, 4)
+        assert bool(jnp.isfinite(out).all())
+
+    def test_align2d_pallas_converges(self):
+        from ygz_slam_tpu.ops.pallas import align2d_kernel as ak
+        from ygz_slam_tpu.utils.synthetic import PlaneScene
+        from ygz_slam_tpu.geometry import PinholeCamera, SE3, se3
+
+        CAM = PinholeCamera.create(320.0, 320.0, 160.0, 120.0)
+        scene = PlaneScene(CAM, plane_z=3.0, seed=0)
+        img = scene.render(SE3.identity(), (240, 320))
+        rng = np.random.default_rng(0)
+        xy_gt = jnp.asarray(
+            np.c_[rng.uniform(20, 300, 32), rng.uniform(20, 220, 32)],
+            jnp.float32,
+        )
+        patches = sample_patches(img, xy_gt, 10)
+        xy, mean, err = ak.align2d_pallas(
+            img, patches, xy_gt + jnp.asarray([[1.5, -1.2]])
+        )
+        d = np.linalg.norm(np.asarray(xy - xy_gt), axis=1)
+        assert np.median(d) < 0.05, np.median(d)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])

@@ -62,6 +62,21 @@ def align2d(
     """
     N = ref_patch_border.shape[0]
     H, W = cur_img.shape
+    # TPU fast path: the whole-image-in-VMEM Pallas window kernel runs
+    # the same optimization ~4.5x faster than the XLA-gather loop.
+    from .pallas import align2d_kernel as _ak
+
+    if _ak.on_tpu() and _ak.usable((H, W), patch + 3) and patch == 8:
+        xy0 = xy_init.astype(cur_img.dtype)
+        inb0 = in_bounds(xy0, H, W, margin=patch / 2 + 2)
+        xy0s = jnp.where(inb0[:, None], xy0, jnp.full_like(xy0, patch + 2.0))
+        xy, mean_diff, err = _ak.align2d_pallas(
+            cur_img, ref_patch_border, xy0s, n_iter=n_iter
+        )
+        inb = in_bounds(xy, H, W, margin=patch / 2 + 1)
+        drift = jnp.linalg.norm(xy - xy_init, axis=-1)
+        converged = inb0 & inb & (err < max_error) & (drift < patch * 2.0)
+        return AlignResult(xy=xy, converged=converged, error=err)
     # Interior reference patch and its gradients (inverse compositional:
     # Jacobians live on the reference, computed once).
     ref = ref_patch_border[:, 1:-1, 1:-1]                       # [N,p,p]

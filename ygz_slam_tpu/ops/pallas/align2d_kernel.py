@@ -1,0 +1,179 @@
+"""Pallas TPU kernels for batched patch alignment.
+
+The jnp align2d spends most of its time in XLA gathers (4
+advanced-index gathers of [N, 8, 8] per GN iteration).  On TPU a
+640x480 f32 image is 1.2 MB — it fits in VMEM whole, so patch access
+should be VMEM dynamic slices, not HBM gathers.
+
+Mosaic constraint: dynamic indices must come from scalar memory, so
+the kernel uses PrefetchScalarGridSpec — integer window origins are
+scalar-prefetched to SMEM, the grid walks the N points, and each grid
+step copies one [WIN, WIN] VMEM window.  The vectorized GN math
+(bilinear mix, residual, 3-DoF solve) stays in XLA where it fuses
+well; only the irregular-access step is a kernel.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+PATCH = 8
+WIN = PATCH + 3  # 11x11 integer window +2 alignment slack rows/cols
+
+
+def _gather_kernel(win_h: int, win_w: int, xi_ref, yi_ref, img_ref, out_ref):
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(0)
+    # Caller guarantees tile alignment (sublane 8, lane 128).
+    y = pl.multiple_of(yi_ref[i], 8)
+    x = pl.multiple_of(xi_ref[i], 128)
+    out_ref[0] = img_ref[pl.ds(y, win_h), pl.ds(x, win_w)]
+
+
+def gather_windows(img: jnp.ndarray, xi: jnp.ndarray, yi: jnp.ndarray,
+                   win: int) -> jnp.ndarray:
+    """[H, W] image + int origins [N] -> [N, win, win] windows.
+
+    Mosaic requires sublane (row) slice starts to be 8-aligned, so the
+    kernel fetches an 8-aligned [win+8, win] super-window; the sub-row
+    shift is applied afterwards with a cheap local take (over the tiny
+    [N, win+8, win] tensor, not the image).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N = xi.shape[0]
+    H, W = img.shape
+    # Mosaic dynamic-slice origins must be tile-aligned (sublane 8,
+    # lane 128), so fetch aligned super-windows and apply the sub-tile
+    # shift with cheap local takes over the small [N, win_h, win_w]
+    # tensor (not the image).  For narrow images the whole row fits in
+    # the window (x origin 0 is trivially aligned); for wide ones a
+    # 256-lane window is reachable from a 128-aligned start anywhere.
+    # Window sizes chosen so the edge clamp bound (H - win_h, W - win_w)
+    # is itself tile-aligned: otherwise flooring the clamp bound to the
+    # tile grid shrinks coverage and bottom/right-edge features read
+    # past the super-window (observed as NaNs at y ~ H-4).
+    win_h = win + 8 + ((H - win - 8) % 8)
+    if W <= 512:
+        win_w = W
+    else:
+        win_w = 256 + ((W - 256) % 128)
+    y_max = max(H - win_h, 0)
+    x_max = max(W - win_w, 0)
+    assert y_max % 8 == 0 and x_max % 128 == 0, (H, W, win_h, win_w)
+    y_al = jnp.clip((yi // 8) * 8, 0, y_max)
+    x_al = jnp.clip((xi // 128) * 128, 0, x_max)
+    dy = yi - y_al
+    dx = xi - x_al
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(N,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(
+            (1, win_h, win_w), lambda i, xi_ref, yi_ref: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    sup = pl.pallas_call(
+        partial(_gather_kernel, win_h, win_w),
+        out_shape=jax.ShapeDtypeStruct((N, win_h, win_w), img.dtype),
+        grid_spec=grid_spec,
+    )(x_al, y_al, img)
+    rows = dy[:, None] + jnp.arange(win)[None, :]        # [N, win]
+    cols = dx[:, None] + jnp.arange(win)[None, :]        # [N, win]
+    sub = jnp.take_along_axis(sup, rows[:, :, None], axis=1)
+    return jnp.take_along_axis(sub, cols[:, None, :], axis=2)
+
+
+def bilinear_patches(img: jnp.ndarray, centers: jnp.ndarray, size: int):
+    """Bilinear [N, size, size] patches at sub-pixel `centers [N, 2]`
+    using the VMEM window gatherer — the TPU drop-in for
+    ops.interp.sample_patches (same symmetric-grid semantics)."""
+    H, W = img.shape
+    N = centers.shape[0]
+    half = (size - 1) / 2.0
+    win = size + 1
+    # Clamp like ops.interp.bilinear does: masked-out callers still pass
+    # wild projections (behind-camera points at ~1e12 px), and an
+    # unclamped fractional weight overflows f32 -> inf -> 0*inf = NaN
+    # in masked reductions downstream.
+    cx = jnp.clip(jnp.nan_to_num(centers[:, 0]), 0.0, W - 1.0)
+    cy = jnp.clip(jnp.nan_to_num(centers[:, 1]), 0.0, H - 1.0)
+    x0f = jnp.clip(jnp.floor(cx - half), 0, W - win)
+    y0f = jnp.clip(jnp.floor(cy - half), 0, H - win)
+    w = gather_windows(
+        img, x0f.astype(jnp.int32), y0f.astype(jnp.int32), win
+    )
+    fx = (cx - half - x0f)[:, None, None]
+    fy = (cy - half - y0f)[:, None, None]
+    return (
+        w[:, :size, :size] * (1 - fx) * (1 - fy)
+        + w[:, :size, 1:] * fx * (1 - fy)
+        + w[:, 1:, :size] * (1 - fx) * fy
+        + w[:, 1:, 1:] * fx * fy
+    )
+
+
+def usable(img_shape, size: int) -> bool:
+    """Whether the TPU window path supports this image/patch size."""
+    H, W = img_shape
+    return H >= size + 17 and W >= size + 1
+
+
+def on_tpu() -> bool:
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def align2d_pallas(
+    cur_img: jnp.ndarray,
+    ref_patch_border: jnp.ndarray,   # [N, 10, 10]
+    xy_init: jnp.ndarray,            # [N, 2]
+    n_iter: int = 10,
+):
+    """align2d core using the Pallas window gatherer: per GN iteration
+    one kernel call replaces four XLA image gathers.  Returns
+    (xy [N,2], mean [N], err [N]); acceptance stays in the caller."""
+    N = ref_patch_border.shape[0]
+    H, W = cur_img.shape
+    ref = ref_patch_border[:, 1:-1, 1:-1].reshape(N, -1)
+    dxp = 0.5 * (ref_patch_border[:, 1:-1, 2:] - ref_patch_border[:, 1:-1, :-2])
+    dyp = 0.5 * (ref_patch_border[:, 2:, 1:-1] - ref_patch_border[:, :-2, 1:-1])
+    J = jnp.stack([dxp, dyp, jnp.ones_like(dxp)], axis=-1).reshape(N, -1, 3)
+    H3 = jnp.einsum("npa,npb->nab", J, J)
+    Hinv = jnp.linalg.inv(H3 + 1e-6 * jnp.eye(3))
+    half = (PATCH - 1) / 2.0
+    win = WIN
+
+    def sample(xy):
+        x0f = jnp.clip(jnp.floor(xy[:, 0] - half), 0, W - win)
+        y0f = jnp.clip(jnp.floor(xy[:, 1] - half), 0, H - win)
+        w = gather_windows(
+            cur_img, x0f.astype(jnp.int32), y0f.astype(jnp.int32), win
+        )
+        fx = (xy[:, 0] - half - x0f)[:, None, None]
+        fy = (xy[:, 1] - half - y0f)[:, None, None]
+        cur = (
+            w[:, :PATCH, :PATCH] * (1 - fx) * (1 - fy)
+            + w[:, :PATCH, 1 : PATCH + 1] * fx * (1 - fy)
+            + w[:, 1 : PATCH + 1, :PATCH] * (1 - fx) * fy
+            + w[:, 1 : PATCH + 1, 1 : PATCH + 1] * fx * fy
+        )
+        return cur.reshape(N, -1)
+
+    def body(_, state):
+        xy, mean = state
+        r = sample(xy) - ref + mean[:, None]
+        g = jnp.einsum("npa,np->na", J, r)
+        upd = jnp.einsum("nab,nb->na", Hinv, g)
+        return xy - upd[:, :2], mean - upd[:, 2]
+
+    xy0 = xy_init.astype(cur_img.dtype)
+    xy, mean = jax.lax.fori_loop(
+        0, n_iter, body, (xy0, jnp.zeros((N,), cur_img.dtype))
+    )
+    err = jnp.mean(jnp.abs(sample(xy) - ref + mean[:, None]), axis=1)
+    return xy, mean, err

@@ -62,20 +62,32 @@ def _level_align(
     gx, gy = _patch_offsets(ref_img.dtype)
 
     # ---- precompute reference patches + inverse-compositional Jacobians
+    from .pallas import align2d_kernel as _ak
+
+    use_tpu_windows = _ak.on_tpu() and _ak.usable((Hh, Ww), PATCH + 2)
     u_ref = px_ref * scale
     vis = visible0 & in_bounds(u_ref, Hh, Ww, margin=PATCH_HALF + 2)
-    coords = jnp.stack(
-        [u_ref[:, 0, None] + gx[None], u_ref[:, 1, None] + gy[None]], axis=-1
-    )                                                       # [N,16,2]
-    ref_patch = bilinear(ref_img, coords)                   # [N,16]
-    dx = 0.5 * (
-        bilinear(ref_img, coords + jnp.array([1.0, 0.0]))
-        - bilinear(ref_img, coords + jnp.array([-1.0, 0.0]))
-    )
-    dy = 0.5 * (
-        bilinear(ref_img, coords + jnp.array([0.0, 1.0]))
-        - bilinear(ref_img, coords + jnp.array([0.0, -1.0]))
-    )
+    if use_tpu_windows:
+        # One 6x6 bilinear window per point supplies the 4x4 patch AND
+        # its central-difference gradients (offset grids align).
+        p6 = _ak.bilinear_patches(ref_img, u_ref, PATCH + 2)
+        ref_patch = p6[:, 1:5, 1:5].reshape(-1, PATCH_AREA)
+        dx = (0.5 * (p6[:, 1:5, 2:6] - p6[:, 1:5, 0:4])).reshape(-1, PATCH_AREA)
+        dy = (0.5 * (p6[:, 2:6, 1:5] - p6[:, 0:4, 1:5])).reshape(-1, PATCH_AREA)
+    else:
+        coords = jnp.stack(
+            [u_ref[:, 0, None] + gx[None], u_ref[:, 1, None] + gy[None]],
+            axis=-1,
+        )                                                   # [N,16,2]
+        ref_patch = bilinear(ref_img, coords)               # [N,16]
+        dx = 0.5 * (
+            bilinear(ref_img, coords + jnp.array([1.0, 0.0]))
+            - bilinear(ref_img, coords + jnp.array([-1.0, 0.0]))
+        )
+        dy = 0.5 * (
+            bilinear(ref_img, coords + jnp.array([0.0, 1.0]))
+            - bilinear(ref_img, coords + jnp.array([0.0, -1.0]))
+        )
     J_proj = jac.duv_dxi(p_ref, cam.fx * scale, cam.fy * scale)  # [N,2,6]
     J = dx[..., None] * J_proj[:, None, 0, :] + dy[..., None] * J_proj[:, None, 1, :]
     # [N,16,6]
@@ -85,11 +97,16 @@ def _level_align(
         behind = p_cur[:, 2] < 1e-3
         px_cur = cam.camera_to_pixel(p_cur) * scale
         okc = vis & (~behind) & in_bounds(px_cur, Hh, Ww, margin=PATCH_HALF + 2)
-        coords_c = jnp.stack(
-            [px_cur[:, 0, None] + gx[None], px_cur[:, 1, None] + gy[None]],
-            axis=-1,
-        )
-        cur_patch = bilinear(cur_img, coords_c)
+        if use_tpu_windows:
+            cur_patch = _ak.bilinear_patches(cur_img, px_cur, PATCH).reshape(
+                -1, PATCH_AREA
+            )
+        else:
+            coords_c = jnp.stack(
+                [px_cur[:, 0, None] + gx[None], px_cur[:, 1, None] + gy[None]],
+                axis=-1,
+            )
+            cur_patch = bilinear(cur_img, coords_c)
         r = cur_patch - ref_patch                            # [N,16]
         w = okc[:, None].astype(r.dtype)
         if use_weights:

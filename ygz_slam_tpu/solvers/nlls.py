@@ -61,6 +61,8 @@ def gauss_newton(
 
     class Carry(NamedTuple):
         x: object
+        H: jnp.ndarray
+        b: jnp.ndarray
         chi2: jnp.ndarray
         it: jnp.ndarray
         stop: jnp.ndarray
@@ -72,19 +74,23 @@ def gauss_newton(
         return (~c.stop) & (c.it < n_iter)
 
     def body(c: Carry):
-        H, b, _ = compute(c.x)
-        dx = _solve_spd(H, b)
+        # The carried (H, b, chi2) were evaluated at c.x, so each
+        # iteration calls compute() exactly ONCE (at the trial point) —
+        # the naive solve-then-reevaluate structure costs two residual
+        # passes per iteration, and compute() dominates the loop.
+        dx = _solve_spd(c.H, c.b)
         x_new = retract(c.x, dx)
-        _, _, chi2_new = compute(x_new)
+        H_new, b_new, chi2_new = compute(x_new)
         worse = chi2_new > c.chi2
         converged = jnp.max(jnp.abs(dx)) < eps
         x_next = jax.tree.map(
             lambda a, bnew: jnp.where(worse, a, bnew), c.x, x_new
         )
-        chi2_next = jnp.where(worse, c.chi2, chi2_new)
         return Carry(
             x=x_next,
-            chi2=chi2_next,
+            H=jnp.where(worse, c.H, H_new),
+            b=jnp.where(worse, c.b, b_new),
+            chi2=jnp.where(worse, c.chi2, chi2_new),
             it=c.it + 1,
             stop=worse | converged,
             converged=c.converged | converged,
@@ -92,6 +98,8 @@ def gauss_newton(
 
     init = Carry(
         x=x0,
+        H=H0,
+        b=b0,
         chi2=chi20,
         it=jnp.asarray(0, jnp.int32),
         stop=jnp.asarray(False),
