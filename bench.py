@@ -87,6 +87,14 @@ def main():
     T0 = SE3.identity().params7()
     out = track_chunk(T0, frames)           # compile + warm-up
     jax.block_until_ready(out)
+    # Accuracy gate: a fast-but-wrong kernel must not report a score
+    # (the frames view T_cur's scene, so every chunk step must land on
+    # T_cur with a healthy inlier count).
+    T7_final, (T7_all, inliers) = out
+    pose_err = float(se3.distance(SE3.from_params7(T7_final), T_cur))
+    min_inl = int(jnp.min(inliers))
+    assert pose_err < 2e-2, f"tracking inaccurate: {pose_err}"
+    assert min_inl > 0.8 * N, f"inliers collapsed: {min_inl}/{N}"
     t0 = time.perf_counter()
     out = track_chunk(T0, frames)
     jax.block_until_ready(out)

@@ -70,9 +70,11 @@ class TestTrajectory:
 
 
 class TestSystemFacade:
-    def test_stereo_unimplemented(self):
-        with pytest.raises(NotImplementedError):
-            System(camera=CAM, sensor=Sensor.STEREO)
+    def test_stereo_constructs(self):
+        # STEREO was declared-but-unimplemented in the reference
+        # (system.h:19-21); here it is a real sensor mode (ops.stereo).
+        s = System(camera=CAM, sensor=Sensor.STEREO)
+        assert s.sensor == Sensor.STEREO
 
     def test_rgbd_tracks(self):
         ds = SyntheticDataset(CAM, n_frames=16, shape=(240, 320),

@@ -100,6 +100,7 @@ class VOOptions:
     map_L: int = 2000
     local_ba_iters: int = 8
     lost_reset_frames: int = 10
+    stereo_baseline: float = 0.1      # meters (STEREO sensor)
     use_vocabulary: bool = True       # BoW for reloc + loop closing
     reloc_min_inliers: int = 20
     loop_closing: bool = True         # detect+close loops at keyframes
@@ -127,6 +128,9 @@ class VisualOdometry:
         self.velocity = SE3.identity()
         self.prev_pyr = None
         self.prev_T_cw = SE3.identity()
+        self.cur_depth = None
+        self.cur_right = None
+        self.stereo_baseline = self.o.stereo_baseline
         self.prev_found = None       # [L] bool landmarks seen last frame
         self.prev_obs_px = None      # [L, 2]
         self.init_pyr = None
@@ -300,22 +304,27 @@ class VisualOdometry:
         self._jit_mapping = _mapping
 
     # ------------------------------------------------------------------
-    def add_frame(self, img, timestamp: float = 0.0, depth=None) -> TrackResult:
+    def add_frame(self, img, timestamp: float = 0.0, depth=None,
+                  right=None) -> TrackResult:
         """Main entry (VisualOdometry::AddFrame dispatch, :38-107).
 
-        With a `depth` image (RGBD sensor), initialization is direct:
-        the first frame becomes a keyframe with depth-initialized
-        landmarks (no monocular bootstrap), and keyframe insertion
-        reads new-feature depths from the sensor."""
+        With a `depth` image (RGBD) or a rectified `right` image
+        (STEREO), initialization is direct: the first frame becomes a
+        keyframe with depth-initialized landmarks (no monocular
+        bootstrap), and keyframe insertion measures new-feature depths
+        from the sensor."""
         self.frame_id += 1
         pyr = fe.preprocess(jnp.asarray(img), self.o.n_levels)
         self.cur_depth = None if depth is None else jnp.asarray(depth)
+        self.cur_right = (
+            None if right is None else jnp.asarray(right, jnp.float32)
+        )
         if self.kf_images is None:
             H, W = pyr[0].shape
             self.kf_images = jnp.zeros((self.o.map_K, H, W), jnp.float32)
 
         if self.status == Status.NOT_READY:
-            if depth is not None:
+            if depth is not None or right is not None:
                 res = self._init_rgbd(pyr)
             else:
                 res = self._start_init(pyr)
@@ -342,16 +351,34 @@ class VisualOdometry:
         self.status = Status.INITING
         return TrackResult(Status.INITING, SE3.identity())
 
+    def _sensor_depths(self, pyr, px, valid):
+        """Per-feature depths from the active depth sensor: RGBD depth
+        image lookup, or rectified stereo matching (ops.stereo — the
+        capability the reference's STEREO mode only declared)."""
+        H, W = pyr[0].shape
+        if self.cur_depth is not None:
+            ui = jnp.clip(px[:, 0].astype(jnp.int32), 0, W - 1)
+            vi = jnp.clip(px[:, 1].astype(jnp.int32), 0, H - 1)
+            z = self.cur_depth[vi, ui]
+            return z, valid & (z > 0.05) & jnp.isfinite(z)
+        if self.cur_right is not None:
+            from ..ops.stereo import match_stereo
+
+            sd = match_stereo(
+                pyr[0], self.cur_right, px, valid,
+                self.cam.fx, self.stereo_baseline,
+            )
+            return sd.depth, sd.ok
+        return jnp.full(px.shape[0], -1.0), jnp.zeros_like(valid)
+
     def _init_rgbd(self, pyr):
-        """RGBD bootstrap: depth-initialized landmarks from frame 0
-        (the capability the legacy System promised via TrackRGBD,
-        system.h:53-57, never implemented there)."""
+        """Depth-sensor bootstrap (RGBD or stereo): depth-initialized
+        landmarks from frame 0 (the capability the legacy System
+        promised via TrackRGBD/TrackStereo, system.h:49-57, never
+        implemented there)."""
         o, srv = self.o, self.server
         feats = self._jit_detect_free(pyr)
-        ui = jnp.clip(feats.px[:, 0].astype(jnp.int32), 0, pyr[0].shape[1] - 1)
-        vi = jnp.clip(feats.px[:, 1].astype(jnp.int32), 0, pyr[0].shape[0] - 1)
-        z = self.cur_depth[vi, ui]
-        ok = feats.valid & (z > 0.05) & jnp.isfinite(z)
+        z, ok = self._sensor_depths(pyr, feats.px, feats.valid)
         if int(ok.sum()) < o.init_min_features // 2:
             return TrackResult(Status.NOT_READY, SE3.identity())
         T1 = SE3.identity()
@@ -563,13 +590,12 @@ class VisualOdometry:
             mstate, new_px, new_desc, new_valid,
             T_cw.params7(), self.last_kf_slot,
         )
-        if getattr(self, "cur_depth", None) is not None:
-            # RGBD: sensor depth overrides/extends triangulation.
-            Himg, Wimg = self.cur_depth.shape
-            ui = jnp.clip(new_px[:, 0].astype(jnp.int32), 0, Wimg - 1)
-            vi = jnp.clip(new_px[:, 1].astype(jnp.int32), 0, Himg - 1)
-            zd = self.cur_depth[vi, ui]
-            dok = new_valid & (zd > 0.05) & jnp.isfinite(zd)
+        if getattr(self, "cur_depth", None) is not None or getattr(
+            self, "cur_right", None
+        ) is not None:
+            # Depth sensor (RGBD image or stereo matching) overrides /
+            # extends triangulation.
+            zd, dok = self._sensor_depths(pyr, new_px, new_valid)
             pos_d = self.cam.pixel_to_world(new_px, T_cw, depth=zd)
             pos_w = jnp.where(dok[:, None], pos_d, pos_w)
             good = dok | good
@@ -626,6 +652,7 @@ class VisualOdometry:
             fixed = fixed.at[self.server.kf_used[1]].set(True)
         srv.refresh_covisibility()
         srv.state, _ = self._jit_mapping(srv.state, fixed)
+        self._cull_keyframes(protect={slot, oldest})
         self.last_kf_slot = slot
         self.frames_since_kf = 0
         # Update prev bookkeeping so tracking continues against the
@@ -634,6 +661,27 @@ class VisualOdometry:
         self.T_cw = self.prev_T_cw
 
     # -- LOST -----------------------------------------------------------
+    def _cull_keyframes(self, protect, redundancy_th: float = 0.9):
+        """KeyFrameCulling (LocalMapping.cpp:579-618): evict keyframes
+        >90% of whose landmarks are seen by >=3 other keyframes.  Uses
+        the native redundancy scorer; keeps a minimum window of 4."""
+        from .. import native
+
+        srv = self.server
+        if len(srv.kf_used) <= 4:
+            return
+        m = srv.state
+        scores = native.kf_redundancy(
+            np.asarray(m.feat_point), np.asarray(m.feat_valid),
+            np.asarray(m.pt_obs), min_obs=4,
+        )
+        for slot in list(srv.kf_used):
+            if slot in protect or len(srv.kf_used) <= 4:
+                continue
+            if scores[slot] > redundancy_th:
+                srv.evict_kf(slot)
+        srv.refresh_covisibility()
+
     def _handle_lost(self, pyr):
         """Relocalization TODO in the reference (:101-104); here: retry
         tracking against the last keyframe with the motion model reset,

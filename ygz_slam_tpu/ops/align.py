@@ -225,23 +225,35 @@ def klt_pyramidal(
     d = jnp.arange(win, dtype=jnp.float32) - half
     gx, gy = jnp.meshgrid(d, d)
 
+    from .pallas import align2d_kernel as _ak
+
     for lvl in range(n_levels - 1, -1, -1):
         ref_img = ref_pyr[lvl]
         cur_img = cur_pyr[lvl]
         Hl, Wl = ref_img.shape
+        use_tpu = _ak.on_tpu() and _ak.usable((Hl, Wl), win + 3)
         xyr = xy_ref / (2.0 ** lvl)
         # Reference window + gradients at this level (fixed during iters).
-        coords_r = jnp.stack(
-            [xyr[:, 0, None, None] + gx[None], xyr[:, 1, None, None] + gy[None]],
-            axis=-1,
-        )
-        ref_w = bilinear(ref_img, coords_r)                      # [N,w,w]
-        rx = bilinear(ref_img, coords_r + jnp.array([1.0, 0.0]))
-        lx = bilinear(ref_img, coords_r + jnp.array([-1.0, 0.0]))
-        uy = bilinear(ref_img, coords_r + jnp.array([0.0, -1.0]))
-        dyy = bilinear(ref_img, coords_r + jnp.array([0.0, 1.0]))
-        Ix = 0.5 * (rx - lx)
-        Iy = 0.5 * (dyy - uy)
+        if use_tpu:
+            # One (win+2)-sized VMEM window supplies the window and its
+            # central-difference gradients.
+            p2 = _ak.bilinear_patches(ref_img, xyr, win + 2)
+            ref_w = p2[:, 1:-1, 1:-1]
+            Ix = 0.5 * (p2[:, 1:-1, 2:] - p2[:, 1:-1, :-2])
+            Iy = 0.5 * (p2[:, 2:, 1:-1] - p2[:, :-2, 1:-1])
+        else:
+            coords_r = jnp.stack(
+                [xyr[:, 0, None, None] + gx[None],
+                 xyr[:, 1, None, None] + gy[None]],
+                axis=-1,
+            )
+            ref_w = bilinear(ref_img, coords_r)                  # [N,w,w]
+            rx = bilinear(ref_img, coords_r + jnp.array([1.0, 0.0]))
+            lx = bilinear(ref_img, coords_r + jnp.array([-1.0, 0.0]))
+            uy = bilinear(ref_img, coords_r + jnp.array([0.0, -1.0]))
+            dyy = bilinear(ref_img, coords_r + jnp.array([0.0, 1.0]))
+            Ix = 0.5 * (rx - lx)
+            Iy = 0.5 * (dyy - uy)
         Ixx = jnp.sum(Ix * Ix, axis=(1, 2))
         Iyy = jnp.sum(Iy * Iy, axis=(1, 2))
         Ixy = jnp.sum(Ix * Iy, axis=(1, 2))
@@ -252,11 +264,15 @@ def klt_pyramidal(
         det_safe = jnp.where(jnp.abs(det) < 1e-9, 1e-9, det)
 
         def body(_, xy):
-            coords_c = jnp.stack(
-                [xy[:, 0, None, None] + gx[None], xy[:, 1, None, None] + gy[None]],
-                axis=-1,
-            )
-            cur_w = bilinear(cur_img, coords_c)
+            if use_tpu:
+                cur_w = _ak.bilinear_patches(cur_img, xy, win)
+            else:
+                coords_c = jnp.stack(
+                    [xy[:, 0, None, None] + gx[None],
+                     xy[:, 1, None, None] + gy[None]],
+                    axis=-1,
+                )
+                cur_w = bilinear(cur_img, coords_c)
             r = cur_w - ref_w
             bx = jnp.sum(Ix * r, axis=(1, 2))
             by = jnp.sum(Iy * r, axis=(1, 2))

@@ -89,6 +89,78 @@ def gather_windows(img: jnp.ndarray, xi: jnp.ndarray, yi: jnp.ndarray,
     return jnp.take_along_axis(sub, cols[:, None, :], axis=2)
 
 
+def _gather_kernel_multi(win_h: int, win_w: int, si_ref, xi_ref, yi_ref,
+                         imgs_ref, out_ref):
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(0)
+    y = pl.multiple_of(yi_ref[i], 8)
+    x = pl.multiple_of(xi_ref[i], 128)
+    out_ref[0] = imgs_ref[si_ref[i], pl.ds(y, win_h), pl.ds(x, win_w)]
+
+
+def gather_windows_multi(imgs: jnp.ndarray, img_idx: jnp.ndarray,
+                         xi: jnp.ndarray, yi: jnp.ndarray,
+                         win: int) -> jnp.ndarray:
+    """Like gather_windows but over an image STACK [S, H, W] with a
+    per-point image index — the kernel behind multi-sequence batch
+    tracking (every sequence's frame resident in VMEM at once)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N = xi.shape[0]
+    S, H, W = imgs.shape
+    win_h = win + 8 + ((H - win - 8) % 8)
+    win_w = W if W <= 512 else 256 + ((W - 256) % 128)
+    y_max = max(H - win_h, 0)
+    x_max = max(W - win_w, 0)
+    y_al = jnp.clip((yi // 8) * 8, 0, y_max)
+    x_al = jnp.clip((xi // 128) * 128, 0, x_max)
+    dy = yi - y_al
+    dx = xi - x_al
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(N,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(
+            (1, win_h, win_w), lambda i, si, xi_r, yi_r: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    sup = pl.pallas_call(
+        partial(_gather_kernel_multi, win_h, win_w),
+        out_shape=jax.ShapeDtypeStruct((N, win_h, win_w), imgs.dtype),
+        grid_spec=grid_spec,
+    )(img_idx.astype(jnp.int32), x_al, y_al, imgs)
+    rows = dy[:, None] + jnp.arange(win)[None, :]
+    cols = dx[:, None] + jnp.arange(win)[None, :]
+    sub = jnp.take_along_axis(sup, rows[:, :, None], axis=1)
+    return jnp.take_along_axis(sub, cols[:, None, :], axis=2)
+
+
+def bilinear_patches_multi(imgs: jnp.ndarray, img_idx: jnp.ndarray,
+                           centers: jnp.ndarray, size: int):
+    """bilinear_patches over an image stack with per-point image index."""
+    S, H, W = imgs.shape
+    half = (size - 1) / 2.0
+    win = size + 1
+    cx = jnp.clip(jnp.nan_to_num(centers[:, 0]), 0.0, W - 1.0)
+    cy = jnp.clip(jnp.nan_to_num(centers[:, 1]), 0.0, H - 1.0)
+    x0f = jnp.clip(jnp.floor(cx - half), 0, W - win)
+    y0f = jnp.clip(jnp.floor(cy - half), 0, H - win)
+    w = gather_windows_multi(
+        imgs, img_idx, x0f.astype(jnp.int32), y0f.astype(jnp.int32), win
+    )
+    fx = (cx - half - x0f)[:, None, None]
+    fy = (cy - half - y0f)[:, None, None]
+    return (
+        w[:, :size, :size] * (1 - fx) * (1 - fy)
+        + w[:, :size, 1:] * fx * (1 - fy)
+        + w[:, 1:, :size] * (1 - fx) * fy
+        + w[:, 1:, 1:] * fx * fy
+    )
+
+
 def bilinear_patches(img: jnp.ndarray, centers: jnp.ndarray, size: int):
     """Bilinear [N, size, size] patches at sub-pixel `centers [N, 2]`
     using the VMEM window gatherer — the TPU drop-in for

@@ -1,0 +1,151 @@
+"""Multi-sequence batch tracking: S sequences tracked simultaneously.
+
+BASELINE.json config 5 ("multi-sequence batch SfM — 16 TUM sequences
+concurrently, one pod slice"): per-frame tracking is sequential within
+a sequence but embarrassingly parallel ACROSS sequences.  This module
+provides the batched per-frame step:
+
+- on one chip: the S sequences' frames are stacked [S, H, W] and all
+  S*N feature patches stream through one multi-image VMEM window
+  kernel (ops.pallas.align2d_kernel.gather_windows_multi); per-
+  sequence 6x6 GN systems are reduced with segment sums and solved
+  batched — one jit call advances every sequence one frame.
+- across chips: sequences shard over the mesh with shard_map (pure
+  data parallelism, no collectives needed — in_specs/out_specs P(ax)).
+
+Off-TPU the same API falls back to vmap over the single-sequence
+sparse aligner.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..geometry import se3 as se3m
+from ..geometry.se3 import SE3
+from ..geometry import jacobians as jac
+from ..ops.interp import in_bounds
+from ..ops.pallas import align2d_kernel as ak
+from .mesh import LANDMARK_AXIS
+
+
+def batched_sparse_align(
+    ref_pyrs: tuple[jnp.ndarray, ...],   # per level: [S, h, w]
+    cur_pyrs: tuple[jnp.ndarray, ...],
+    cam,
+    px_ref: jnp.ndarray,                 # [S, N, 2]
+    depth_ref: jnp.ndarray,              # [S, N]
+    mask: jnp.ndarray,                   # [S, N]
+    T_init: SE3,                         # batched [S]
+    n_iter: int = 15,
+) -> SE3:
+    """One batched coarse-to-fine sparse-direct alignment step for S
+    sequences at once.  Returns SE3 batched [S]."""
+    S, N = mask.shape
+    if not (ak.on_tpu() and ak.usable(ref_pyrs[0].shape[1:], 6)):
+        from ..ops.sparse_align import sparse_image_align
+
+        def one(rp, cp, px, d, m, T7):
+            st = sparse_image_align(
+                tuple(r for r in rp), tuple(c for c in cp), cam, px, d, m,
+                SE3.from_params7(T7), n_iter=n_iter, distorted=False,
+            )
+            return st.T_cur_ref.params7()
+
+        T7 = jax.vmap(one)(
+            ref_pyrs, cur_pyrs, px_ref, depth_ref, mask, T_init.params7()
+        )
+        return SE3.from_params7(T7)
+
+    # --- TPU path: flatten sequences into one point soup -------------
+    seq_idx = jnp.repeat(jnp.arange(S, dtype=jnp.int32), N)
+    pxf = px_ref.reshape(S * N, 2)
+    df = depth_ref.reshape(S * N)
+    mf = mask.reshape(S * N) & (df > 1e-3)
+    p_ref = cam.pixel_to_camera(pxf, df, distorted=False)     # [SN, 3]
+    T = T_init
+
+    for level in range(len(ref_pyrs) - 1, -1, -1):
+        scale = 1.0 / (2.0 ** level)
+        refs = ref_pyrs[level]
+        curs = cur_pyrs[level]
+        hh, ww = refs.shape[1:]
+        u_ref = pxf * scale
+        vis = mf & in_bounds(u_ref, hh, ww, margin=4.0)
+        p6 = ak.bilinear_patches_multi(refs, seq_idx, u_ref, 6)
+        ref_patch = p6[:, 1:5, 1:5].reshape(-1, 16)
+        gdx = (0.5 * (p6[:, 1:5, 2:6] - p6[:, 1:5, 0:4])).reshape(-1, 16)
+        gdy = (0.5 * (p6[:, 2:6, 1:5] - p6[:, 0:4, 1:5])).reshape(-1, 16)
+        J_proj = jac.duv_dxi(p_ref, cam.fx * scale, cam.fy * scale)
+        J = (
+            gdx[..., None] * J_proj[:, None, 0, :]
+            + gdy[..., None] * J_proj[:, None, 1, :]
+        )                                                     # [SN,16,6]
+
+        def gn_iter(_, T7):
+            Tb = SE3.from_params7(T7)
+            Tp = jax.tree.map(lambda a: a[seq_idx], Tb)
+            p_cur = Tp.apply(p_ref)
+            px_cur = cam.camera_to_pixel(p_cur, distorted=False) * scale
+            okc = vis & (p_cur[:, 2] > 1e-3) & in_bounds(
+                px_cur, hh, ww, margin=4.0
+            )
+            cur = ak.bilinear_patches_multi(
+                curs, seq_idx, px_cur, 4
+            ).reshape(-1, 16)
+            r = cur - ref_patch
+            w = okc[:, None].astype(r.dtype)
+            Hb = jax.ops.segment_sum(
+                jnp.einsum("npa,np,npb->nab", J, w, J), seq_idx,
+                num_segments=S,
+            )
+            bb = jax.ops.segment_sum(
+                -jnp.einsum("npa,np->na", J, w * r), seq_idx,
+                num_segments=S,
+            )
+            Hb = Hb + 1e-6 * jnp.eye(6)
+            dx = jnp.linalg.solve(Hb, bb[..., None])[..., 0]
+            dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
+            Tb_new = jax.vmap(
+                lambda Tb_i, d: Tb_i.compose(se3m.exp(d))
+            )(SE3.from_params7(T7), dx)
+            return Tb_new.params7()
+
+        T7 = jax.lax.fori_loop(0, n_iter, gn_iter, T.params7())
+        T = SE3.from_params7(T7)
+    return T
+
+
+def sharded_batch_align(
+    mesh: Mesh, ref_pyrs, cur_pyrs, cam, px, depth, mask, T_init: SE3,
+    n_iter: int = 15,
+) -> SE3:
+    """Shard the sequence axis over the mesh: pure data parallelism,
+    zero collectives — the multi-chip face of config 5."""
+    ax = LANDMARK_AXIS
+
+    def fn(ref_pyrs, cur_pyrs, px, d, m, T7):
+        out = batched_sparse_align(
+            ref_pyrs, cur_pyrs, cam, px, d, m,
+            SE3.from_params7(T7), n_iter=n_iter,
+        )
+        return out.params7()
+
+    n_lvl = len(ref_pyrs)
+    sharded = shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(
+            tuple(P(ax) for _ in range(n_lvl)),
+            tuple(P(ax) for _ in range(n_lvl)),
+            P(ax), P(ax), P(ax), P(ax),
+        ),
+        out_specs=P(ax),
+    )
+    return SE3.from_params7(
+        sharded(ref_pyrs, cur_pyrs, px, depth, mask, T_init.params7())
+    )

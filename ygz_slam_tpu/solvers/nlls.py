@@ -96,14 +96,18 @@ def gauss_newton(
             converged=c.converged | converged,
         )
 
+    # Flags derive from chi20 so their sharding "varying-ness" matches
+    # the loop body under shard_map (a literal False is unvarying and
+    # trips the while_loop carry-type check on a mesh).
+    false_like = chi20 < 0.0  # chi2 >= 0 always
     init = Carry(
         x=x0,
         H=H0,
         b=b0,
         chi2=chi20,
         it=jnp.asarray(0, jnp.int32),
-        stop=jnp.asarray(False),
-        converged=jnp.asarray(False),
+        stop=false_like,
+        converged=false_like,
     )
     out = jax.lax.while_loop(cond, body, init)
     return out.x, SolveStats(out.chi2, out.it, out.converged)
@@ -200,14 +204,15 @@ def levenberg_marquardt(
             converged=c.converged | converged,
         )
 
+    false_like = chi20 < 0.0  # varying-ness follows the data (shard_map)
     init = Carry(
         x=x0,
         chi2=chi20,
-        mu=jnp.asarray(mu_init, chi20.dtype),
-        nu=jnp.asarray(2.0, chi20.dtype),
+        mu=jnp.asarray(mu_init, chi20.dtype) + 0.0 * chi20,
+        nu=jnp.asarray(2.0, chi20.dtype) + 0.0 * chi20,
         it=jnp.asarray(0, jnp.int32),
-        stop=jnp.asarray(False),
-        converged=jnp.asarray(False),
+        stop=false_like,
+        converged=false_like,
     )
     out = jax.lax.while_loop(cond, body, init)
     return out.x, SolveStats(out.chi2, out.it, out.converged)

@@ -8,9 +8,9 @@ SaveTrajectory and actual SaveMap/LoadMap (npz over the tensor
 MapState — the reference never implemented these).
 
 Sensor support: MONOCULAR (full), RGBD (depth-initialized landmarks,
-no monocular bootstrap), STEREO declared-but-unimplemented exactly as
-in the reference (system.h:19-21 lists it; no code path exists there
-either).
+no monocular bootstrap), STEREO (rectified left/right with batched
+ZMSSD+align1d matching — the reference declared this mode but never
+implemented it).
 """
 from __future__ import annotations
 
@@ -44,12 +44,6 @@ class System:
             if sensor_key is not None:
                 sensor = Sensor[str(sensor_key).upper()]
         self.sensor = sensor
-        if sensor == Sensor.STEREO:
-            raise NotImplementedError(
-                "STEREO is declared but unimplemented (matching the "
-                "reference, include/ygz/system.h:19-21); use MONOCULAR "
-                "or RGBD"
-            )
         cam = camera_from_config(default=camera)
         if cam is None:
             raise ValueError("no camera: pass `camera` or camera.* config")
@@ -67,6 +61,12 @@ class System:
     def track_rgbd(self, img, depth, timestamp: float):
         assert self.sensor == Sensor.RGBD
         return self.vo.add_frame(img, timestamp, depth=depth)
+
+    def track_stereo(self, left, right, timestamp: float):
+        """Rectified stereo tracking (system.h:49-52 — declared there,
+        implemented here via ops.stereo matching)."""
+        assert self.sensor == Sensor.STEREO
+        return self.vo.add_frame(left, timestamp, right=right)
 
     def reset(self):
         self.vo.reset()
