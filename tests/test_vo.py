@@ -111,6 +111,19 @@ class TestVOPipeline:
             r = vo.add_frame(img)
         assert r.status in (Status.NOT_READY, Status.INITING)
 
+    def test_depth_filter_creates_seeds(self):
+        """The wired depth filter (legacy C22) must create seeds for
+        depthless keyframe features and eventually promote them."""
+        n = 40
+        scene, poses, imgs = render_sequence(n)
+        vo = VisualOdometry(CAM, VOOptions(**VO_OPTS))
+        seeds_seen = False
+        for k, img in enumerate(imgs):
+            vo.add_frame(img, timestamp=float(k))
+            if vo.seeds is not None:
+                seeds_seen = True
+        assert seeds_seen, "depth filter never created seeds"
+
     def test_reset(self):
         n = 20
         scene, poses, imgs = render_sequence(n)

@@ -39,6 +39,7 @@ from . import frontend as fe
 from . import local_mapping as lm
 from . import relocalization as reloc
 from ..map import vocabulary as voc
+from ..map import depth_filter as dfilt
 
 
 _VOCAB_CACHE = {}
@@ -101,6 +102,8 @@ class VOOptions:
     local_ba_iters: int = 8
     lost_reset_frames: int = 10
     stereo_baseline: float = 0.1      # meters (STEREO sensor)
+    use_depth_filter: bool = True     # Bayesian seeds for depthless
+                                      # features (legacy C22, wired)
     use_vocabulary: bool = True       # BoW for reloc + loop closing
     reloc_min_inliers: int = 20
     loop_closing: bool = True         # detect+close loops at keyframes
@@ -130,6 +133,9 @@ class VisualOdometry:
         self.prev_T_cw = SE3.identity()
         self.cur_depth = None
         self.cur_right = None
+        self.seeds = None            # depth-filter seeds on last KF
+        self.seed_kf_slot = -1
+        self.seed_feat_idx = None    # feature rows in that KF
         self.stereo_baseline = self.o.stereo_baseline
         self.prev_found = None       # [L] bool landmarks seen last frame
         self.prev_obs_px = None      # [L, 2]
@@ -239,6 +245,13 @@ class VisualOdometry:
             )
 
         @jax.jit
+        def _update_seeds(seeds, ref_img, cur_img, T_cur_ref7):
+            return dfilt.update_seeds_from_frame(
+                seeds, ref_img, cur_img, cam,
+                SE3.from_params7(T_cur_ref7),
+            )
+
+        @jax.jit
         def _mapping(mstate, fixed_slots):
             mstate = ms.update_covisibility(mstate)
             mstate, chi2 = lm.local_ba_on_map(
@@ -302,6 +315,7 @@ class VisualOdometry:
         self._jit_track = _track
         self._jit_triangulate = _triangulate
         self._jit_mapping = _mapping
+        self._jit_update_seeds = _update_seeds
 
     # ------------------------------------------------------------------
     def add_frame(self, img, timestamp: float = 0.0, depth=None,
@@ -538,6 +552,16 @@ class VisualOdometry:
             return TrackResult(Status.LOST, self.T_cw, n_inl)
         self.server.state = new_state
         T_cw = tm.T_cw
+        # Depth-filter pass: refine seeds of the last keyframe's
+        # depthless features against this frame (DepthFilter::
+        # UpdateSeeds was meant to run per ordinary frame).
+        if self.seeds is not None and self.o.use_depth_filter:
+            T_kf = self.server.state.kf_pose(self.seed_kf_slot)
+            T_cur_ref = T_cw.compose(T_kf.inverse())
+            self.seeds = self._jit_update_seeds(
+                self.seeds, self.kf_images[self.seed_kf_slot], pyr[0],
+                T_cur_ref.params7(),
+            )
         self.velocity = T_cw.compose(self.prev_T_cw.inverse())
         self.prev_pyr = pyr
         self.prev_T_cw = T_cw
@@ -636,6 +660,23 @@ class VisualOdometry:
             ref_feat=slot * Fcap + Fl + jnp.arange(Fn, dtype=jnp.int32),
         )
         self.kf_images = self.kf_images.at[slot].set(pyr[0])
+        # --- depth filter: promote converged seeds, start new ones ---
+        if self.o.use_depth_filter:
+            self._promote_seeds()
+            depthless = new_valid & (~can_write)
+            if bool(depthless.any()):
+                mean_d = float(jnp.where(
+                    mstate.pt_valid,
+                    SE3.from_params7(mstate.kf_pose7[self.last_kf_slot])
+                    .apply(mstate.pt_pos)[:, 2],
+                    0.0,
+                ).sum() / max(int(mstate.pt_valid.sum()), 1)) or 1.0
+                self.seeds = dfilt.Seeds.init(
+                    new_px, depthless,
+                    depth_mean=max(mean_d, 0.5), depth_min=0.1,
+                )
+                self.seed_kf_slot = slot
+                self.seed_feat_idx = Fl + jnp.arange(Fn, dtype=jnp.int32)
         # --- loop closing (LoopClosing placeholder, loop_closing.h) ---
         if self.vocab is not None and o.loop_closing and len(srv.kf_used) >= 4:
             srv.refresh_covisibility()
@@ -661,6 +702,51 @@ class VisualOdometry:
         self.T_cw = self.prev_T_cw
 
     # -- LOST -----------------------------------------------------------
+    def _promote_seeds(self):
+        """Converged seeds become landmarks linked to their keyframe
+        feature (the promotion the legacy depth filter was built for)."""
+        if self.seeds is None:
+            return
+        srv, o = self.server, self.o
+        conv = self.seeds.converged(ratio=100.0) & self.seeds.valid
+        n_conv = int(conv.sum())
+        if n_conv == 0:
+            self.seeds = None
+            return
+        rows_np = srv.alloc_landmark_rows(int(conv.shape[0]))
+        n_free = len(rows_np)
+        L = o.map_L
+        n = conv.shape[0]
+        rows = jnp.full(n, L - 1, jnp.int32)
+        if n_free:
+            rows = rows.at[:n_free].set(jnp.asarray(rows_np))
+        can = conv & (jnp.arange(n) < n_free)
+        slot = self.seed_kf_slot
+        m = srv.state
+        T_kf = m.kf_pose(slot)
+        pos_w = self.cam.pixel_to_world(
+            self.seeds.px, T_kf, depth=self.seeds.depth()
+        )
+        desc = m.feat_desc[slot][self.seed_feat_idx]
+        srv.state = ms.add_landmarks(
+            srv.state, rows, can, pos_w, desc, slot,
+            ref_feat=slot * o.map_F + self.seed_feat_idx,
+        )
+        # Link the keyframe features to the new landmarks.
+        m = srv.state
+        fp = m.feat_point[slot].at[self.seed_feat_idx].set(
+            jnp.where(can, rows, m.feat_point[slot][self.seed_feat_idx])
+        )
+        fd = m.feat_depth[slot].at[self.seed_feat_idx].set(
+            jnp.where(can, self.seeds.depth(),
+                      m.feat_depth[slot][self.seed_feat_idx])
+        )
+        srv.state = m._replace(
+            feat_point=m.feat_point.at[slot].set(fp),
+            feat_depth=m.feat_depth.at[slot].set(fd),
+        )
+        self.seeds = None
+
     def _cull_keyframes(self, protect, redundancy_th: float = 0.9):
         """KeyFrameCulling (LocalMapping.cpp:579-618): evict keyframes
         >90% of whose landmarks are seen by >=3 other keyframes.  Uses
@@ -754,6 +840,8 @@ class VisualOdometry:
         self.frames_since_kf = 0
         self.last_kf_slot = -1
         self.lost_count = 0
+        self.seeds = None
+        self.seed_kf_slot = -1
         if self.vocab is not None:
             self.kf_bow = jnp.zeros_like(self.kf_bow)
             self.kf_nodes = jnp.full_like(self.kf_nodes, -1)
