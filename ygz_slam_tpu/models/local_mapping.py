@@ -87,6 +87,44 @@ def match_new_features_for_triangulation(
     return pos_world, good, idx_safe
 
 
+def search_in_neighbors(
+    m: ms.MapState,
+    cam,
+    slot,
+    max_dist: int = 50,
+    radius: float = 6.0,
+):
+    """Fuse the new keyframe's unlinked features with existing
+    landmarks: project every valid landmark into the keyframe, match
+    descriptors within a pixel radius, and link (the reference's
+    SearchInNeighbors stub, LocalMapping.cpp:573-576, given a real
+    implementation).  Returns the updated MapState (jittable)."""
+    from ..ops import hamming
+
+    F = m.F
+    T = m.kf_pose(slot)
+    proj = cam.world_to_pixel(m.pt_pos, T)                  # [L, 2]
+    z = T.apply(m.pt_pos)[:, 2]
+    cand = m.pt_valid & (z > 0.05)
+    f_px = m.feat_px[slot]                                  # [F, 2]
+    f_free = m.feat_valid[slot] & (m.feat_point[slot] < 0)
+    # Pairwise pixel distance gate [F, L] + descriptor distance.
+    d2 = jnp.sum((f_px[:, None, :] - proj[None, :, :]) ** 2, axis=-1)
+    near = d2 < radius * radius
+    dd = hamming.distance_matrix(m.feat_desc[slot], m.pt_desc)
+    BIG = jnp.int32(1 << 14)
+    dd = jnp.where(near & cand[None, :] & f_free[:, None], dd, BIG)
+    best = jnp.argmin(dd, axis=1)
+    best_d = jnp.min(dd, axis=1)
+    link = f_free & (best_d <= max_dist)
+    new_fp = jnp.where(link, best.astype(jnp.int32), m.feat_point[slot])
+    new_fd = jnp.where(link, z[best], m.feat_depth[slot])
+    return m._replace(
+        feat_point=m.feat_point.at[slot].set(new_fp),
+        feat_depth=m.feat_depth.at[slot].set(new_fd),
+    )
+
+
 class MappingResult(NamedTuple):
     map: ms.MapState
     n_culled: jnp.ndarray

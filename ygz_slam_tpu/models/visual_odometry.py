@@ -252,6 +252,10 @@ class VisualOdometry:
             )
 
         @jax.jit
+        def _fuse_neighbors(mstate, slot):
+            return lm.search_in_neighbors(mstate, cam, slot)
+
+        @jax.jit
         def _mapping(mstate, fixed_slots):
             mstate = ms.update_covisibility(mstate)
             mstate, chi2 = lm.local_ba_on_map(
@@ -315,6 +319,7 @@ class VisualOdometry:
         self._jit_track = _track
         self._jit_triangulate = _triangulate
         self._jit_mapping = _mapping
+        self._jit_fuse_neighbors = _fuse_neighbors
         self._jit_update_seeds = _update_seeds
 
     # ------------------------------------------------------------------
@@ -691,6 +696,9 @@ class VisualOdometry:
         fixed = fixed.at[oldest].set(True)
         if len(self.server.kf_used) > 1:
             fixed = fixed.at[self.server.kf_used[1]].set(True)
+        # SearchInNeighbors: fuse unlinked features with existing
+        # landmarks before BA so they contribute observations.
+        srv.state = self._jit_fuse_neighbors(srv.state, jnp.asarray(slot))
         srv.refresh_covisibility()
         srv.state, _ = self._jit_mapping(srv.state, fixed)
         self._cull_keyframes(protect={slot, oldest})
