@@ -14,10 +14,16 @@ numbers (author's x86 desktop, note.md): ~2 ms sparse alignment alone,
 Runs on whatever backend jax selects (the real TPU under the driver).
 """
 import json
+import os
 import time
 
 import numpy as np
 import jax
+
+# Persistent compilation cache: the axon remote-compile path costs
+# minutes per cold compile; cached binaries load in seconds.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 

@@ -98,16 +98,30 @@ def search_in_neighbors(
     landmarks: project every valid landmark into the keyframe, match
     descriptors within a pixel radius, and link (the reference's
     SearchInNeighbors stub, LocalMapping.cpp:573-576, given a real
-    implementation).  Returns the updated MapState (jittable)."""
-    from ..ops import hamming
+    implementation).  Returns the updated MapState (jittable).
 
-    F = m.F
+    Invariants enforced (the reference's Fuse semantics): a landmark
+    the keyframe already observes is never re-linked, at most ONE
+    feature links to any landmark (reverse-argmin uniqueness, which
+    doubles as a cross-check), and ambiguous matches are dropped by a
+    Lowe ratio test like every other matcher here."""
     T = m.kf_pose(slot)
     proj = cam.world_to_pixel(m.pt_pos, T)                  # [L, 2]
     z = T.apply(m.pt_pos)[:, 2]
-    cand = m.pt_valid & (z > 0.05)
+    # Exclude landmarks this keyframe already observes.
+    fp = m.feat_point[slot]
+    fp_safe = jnp.clip(fp, 0, m.L - 1)
+    # .max (logical OR) scatter: duplicate indices (all unlinked rows
+    # clip to 0) must not overwrite a True with a False.
+    observed_here = (
+        jnp.zeros(m.L, jnp.int32)
+        .at[fp_safe]
+        .max((m.feat_valid[slot] & (fp >= 0)).astype(jnp.int32))
+        > 0
+    )
+    cand = m.pt_valid & (z > 0.05) & (~observed_here)
     f_px = m.feat_px[slot]                                  # [F, 2]
-    f_free = m.feat_valid[slot] & (m.feat_point[slot] < 0)
+    f_free = m.feat_valid[slot] & (fp < 0)
     # Pairwise pixel distance gate [F, L] + descriptor distance.
     d2 = jnp.sum((f_px[:, None, :] - proj[None, :, :]) ** 2, axis=-1)
     near = d2 < radius * radius
@@ -116,8 +130,19 @@ def search_in_neighbors(
     dd = jnp.where(near & cand[None, :] & f_free[:, None], dd, BIG)
     best = jnp.argmin(dd, axis=1)
     best_d = jnp.min(dd, axis=1)
-    link = f_free & (best_d <= max_dist)
-    new_fp = jnp.where(link, best.astype(jnp.int32), m.feat_point[slot])
+    # Lowe ratio against the second-best candidate.
+    dd2 = dd.at[jnp.arange(dd.shape[0]), best].set(BIG)
+    second_d = jnp.min(dd2, axis=1)
+    # One feature per landmark: the reverse argmin must point back.
+    rev_best = jnp.argmin(dd, axis=0)                       # [L]
+    mutual = rev_best[best] == jnp.arange(dd.shape[0])
+    link = (
+        f_free
+        & (best_d <= max_dist)
+        & (best_d.astype(jnp.float32) < 0.9 * second_d.astype(jnp.float32))
+        & mutual
+    )
+    new_fp = jnp.where(link, best.astype(jnp.int32), fp)
     new_fd = jnp.where(link, z[best], m.feat_depth[slot])
     return m._replace(
         feat_point=m.feat_point.at[slot].set(new_fp),

@@ -665,10 +665,16 @@ class VisualOdometry:
             ref_feat=slot * Fcap + Fl + jnp.arange(Fn, dtype=jnp.int32),
         )
         self.kf_images = self.kf_images.at[slot].set(pyr[0])
+        # SearchInNeighbors: fuse unlinked features with existing
+        # landmarks BEFORE seeds are created for them (a fused feature
+        # must not also spawn a seed that would later duplicate the
+        # landmark) and before BA so fused observations participate.
+        srv.state = self._jit_fuse_neighbors(srv.state, jnp.asarray(slot))
         # --- depth filter: promote converged seeds, start new ones ---
         if self.o.use_depth_filter:
             self._promote_seeds()
-            depthless = new_valid & (~can_write)
+            fp_now = srv.state.feat_point[slot][Fl + jnp.arange(Fn)]
+            depthless = new_valid & (~can_write) & (fp_now < 0)
             if bool(depthless.any()):
                 mean_d = float(jnp.where(
                     mstate.pt_valid,
@@ -696,9 +702,6 @@ class VisualOdometry:
         fixed = fixed.at[oldest].set(True)
         if len(self.server.kf_used) > 1:
             fixed = fixed.at[self.server.kf_used[1]].set(True)
-        # SearchInNeighbors: fuse unlinked features with existing
-        # landmarks before BA so they contribute observations.
-        srv.state = self._jit_fuse_neighbors(srv.state, jnp.asarray(slot))
         srv.refresh_covisibility()
         srv.state, _ = self._jit_mapping(srv.state, fixed)
         self._cull_keyframes(protect={slot, oldest})
@@ -728,9 +731,12 @@ class VisualOdometry:
         rows = jnp.full(n, L - 1, jnp.int32)
         if n_free:
             rows = rows.at[:n_free].set(jnp.asarray(rows_np))
-        can = conv & (jnp.arange(n) < n_free)
         slot = self.seed_kf_slot
         m = srv.state
+        # Never overwrite links created since the seeds were made
+        # (e.g. by SearchInNeighbors fusion at a later keyframe).
+        still_free = m.feat_point[slot][self.seed_feat_idx] < 0
+        can = conv & still_free & (jnp.arange(n) < n_free)
         T_kf = m.kf_pose(slot)
         pos_w = self.cam.pixel_to_world(
             self.seeds.px, T_kf, depth=self.seeds.depth()
