@@ -98,9 +98,13 @@ def _level_align(
         px_cur = cam.camera_to_pixel(p_cur) * scale
         okc = vis & (~behind) & in_bounds(px_cur, Hh, Ww, margin=PATCH_HALF + 2)
         if use_tpu_windows:
-            cur_patch = _ak.bilinear_patches(cur_img, px_cur, PATCH).reshape(
-                -1, PATCH_AREA
-            )
+            # Sample a size-6 window and take its interior: the grids
+            # are nested (floor(c-2.5) = floor(c-1.5)-1), so this IS
+            # the 4x4 patch — and it reuses the ref sampler's Mosaic
+            # kernel signature (remote kernel compiles cost minutes;
+            # one kernel per pyramid level instead of two).
+            p6c = _ak.bilinear_patches(cur_img, px_cur, PATCH + 2)
+            cur_patch = p6c[:, 1:5, 1:5].reshape(-1, PATCH_AREA)
         else:
             coords_c = jnp.stack(
                 [px_cur[:, 0, None] + gx[None], px_cur[:, 1, None] + gy[None]],
