@@ -92,6 +92,36 @@ class TestSystemFacade:
         ate = traj.ate_rmse(np.array(est), np.array(gt), with_scale=False)
         assert ate < 0.03, ate
 
+    def test_resume_from_saved_map(self, tmp_path):
+        """System A builds a monocular map; System B loads it and
+        resumes by relocalizing (NOT_READY + non-empty map path)."""
+        from ygz_slam_tpu.utils.synthetic import PlaneScene
+        from ygz_slam_tpu.geometry import se3 as se3m
+
+        scene = PlaneScene(CAM, plane_z=3.0, seed=31)
+        imgs = []
+        for k in range(22):
+            t = k / 21.0
+            T = se3m.exp(jnp.asarray(
+                [1.0 * t, 0.15 * np.sin(2 * t), 0.25 * t,
+                 0.02 * np.sin(3 * t), -0.14 * t, 0.02 * t], jnp.float32))
+            imgs.append(scene.render(T, (240, 320)))
+        opts = VOOptions(init_min_disparity=15.0, kf_min_frames=4,
+                         kf_max_trans=0.03, kf_max_rot=0.04)
+        sysA = System(camera=CAM, sensor=Sensor.MONOCULAR, options=opts)
+        for k, img in enumerate(imgs):
+            sysA.track_monocular(img, float(k))
+        assert sysA.status == Status.GOOD
+        mpath = tmp_path / "resume.npz"
+        sysA.save_map(str(mpath))
+        sysB = System(camera=CAM, sensor=Sensor.MONOCULAR, options=opts)
+        sysB.load_map(str(mpath))
+        kf_fid = int(sysB.vo.server.state.kf_id[sysB.vo.server.kf_used[2]])
+        r1 = sysB.track_monocular(imgs[kf_fid], 100.0)
+        r2 = sysB.track_monocular(imgs[kf_fid + 1], 101.0)
+        assert r1.status == Status.GOOD, r1
+        assert r2.status == Status.GOOD and r2.n_inliers > 50
+
     def test_save_trajectory_and_map(self, tmp_path):
         ds = SyntheticDataset(CAM, n_frames=14, shape=(240, 320),
                               with_depth=True, motion_scale=0.5)

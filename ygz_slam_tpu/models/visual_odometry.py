@@ -343,7 +343,28 @@ class VisualOdometry:
             self.kf_images = jnp.zeros((self.o.map_K, H, W), jnp.float32)
 
         if self.status == Status.NOT_READY:
-            if depth is not None or right is not None:
+            if self.server.kf_used and self.vocab is not None:
+                # A loaded (or surviving) map exists: resume by
+                # relocalizing against it instead of re-initializing.
+                r = self._try_relocalize(pyr)
+                if r is not None:
+                    self.status = Status.GOOD
+                    self.prev_pyr = pyr
+                    self.prev_T_cw = r.T_cw
+                    self.T_cw = r.T_cw
+                    L = self.o.map_L
+                    self.prev_found = jnp.zeros(L, bool)
+                    self.prev_obs_px = jnp.zeros((L, 2), jnp.float32)
+                    self.velocity = SE3.identity()
+                    self.last_kf_slot = self.server.kf_used[-1]
+                    self.frames_since_kf = 0
+                    res = TrackResult(Status.GOOD, r.T_cw,
+                                      int(r.n_inliers))
+                elif depth is not None or right is not None:
+                    res = self._init_rgbd(pyr)
+                else:
+                    res = self._start_init(pyr)
+            elif depth is not None or right is not None:
                 res = self._init_rgbd(pyr)
             else:
                 res = self._start_init(pyr)

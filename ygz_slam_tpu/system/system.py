@@ -85,19 +85,34 @@ class System:
         traj.save_tum(path, stamps, poses)
 
     def save_map(self, path: str):
-        """Serialize the full MapState + server bookkeeping to npz."""
+        """Serialize the full MapState + server bookkeeping + the
+        VO-side arrays needed to RESUME from the map (keyframe BoW
+        vectors/nodes and keyframe images for patch tracking)."""
         m = self.vo.server.state
         arrays = {f: np.asarray(getattr(m, f)) for f in m._fields}
         arrays["__kf_used"] = np.asarray(self.vo.server.kf_used, np.int32)
         arrays["__next_frame_id"] = np.asarray(
             [self.vo.server.next_frame_id], np.int32
         )
+        if self.vo.kf_images is not None:
+            arrays["__kf_images"] = np.asarray(self.vo.kf_images)
+        if self.vo.vocab is not None:
+            arrays["__kf_bow"] = np.asarray(self.vo.kf_bow)
+            arrays["__kf_nodes"] = np.asarray(self.vo.kf_nodes)
         np.savez_compressed(path, **arrays)
 
     def load_map(self, path: str):
+        """Restore a saved map.  The next tracked frame relocalizes
+        against it (the VO's NOT_READY state tries BoW relocalization
+        when the map is non-empty)."""
         data = np.load(path)
         m = self.vo.server.state
         fields = {f: jnp.asarray(data[f]) for f in m._fields}
         self.vo.server.state = ms.MapState(**fields)
         self.vo.server.kf_used = [int(x) for x in data["__kf_used"]]
         self.vo.server.next_frame_id = int(data["__next_frame_id"][0])
+        if "__kf_images" in data:
+            self.vo.kf_images = jnp.asarray(data["__kf_images"])
+        if "__kf_bow" in data and self.vo.vocab is not None:
+            self.vo.kf_bow = jnp.asarray(data["__kf_bow"])
+            self.vo.kf_nodes = jnp.asarray(data["__kf_nodes"])
