@@ -79,6 +79,26 @@ class Status(Enum):
     LOST = 3
 
 
+class VOType(Enum):
+    """Frontend method (legacy system.h:26-30 — declared there, only
+    SPARSE_DIRECT implemented; all three are implemented here)."""
+
+    SPARSE_DIRECT = 0      # SVO-style direct alignment (default)
+    SPARSE_ORB = 1         # ORB-SLAM-style descriptor matching
+    SEMI_DENSE_DIRECT = 2  # LSD-style gradient-pixel direct alignment
+
+
+class MapType(Enum):
+    """Map content (legacy system.h:33-37).  SPARSE: landmarks only.
+    SEMI_DENSE: + per-keyframe gradient-pixel depth maps (from the
+    Bayesian depth filter).  DENSE: + back-projected depth-image
+    clouds per keyframe (RGBD/stereo sensors)."""
+
+    SPARSE = 0
+    SEMI_DENSE = 1
+    DENSE = 2
+
+
 @dataclasses.dataclass
 class VOOptions:
     """Config defaults mirroring config/default.yaml +
@@ -108,6 +128,16 @@ class VOOptions:
     reloc_min_inliers: int = 20
     loop_closing: bool = True         # detect+close loops at keyframes
     loop_min_inliers: int = 25
+    vo_type: VOType = VOType.SPARSE_DIRECT   # system.vo (yaml :10)
+    map_type: MapType = MapType.SPARSE       # system.map (yaml :12)
+    orb_match_radius: float = 15.0    # SPARSE_ORB projection window
+    orb_max_hamming: int = 80         # projection matching threshold
+                                      # (ORB-SLAM's TH_HIGH regime; the
+                                      # BoW TH_LOW=50 stays in hamming
+                                      # match_nn, Matcher.cpp:250-283)
+    sd_budget: int = 512              # semi-dense gradient pixels/KF
+    sd_cell: int = 8
+    sd_min_grad: float = 8.0
 
 
 @dataclasses.dataclass
@@ -139,6 +169,9 @@ class VisualOdometry:
         self.stereo_baseline = self.o.stereo_baseline
         self.prev_found = None       # [L] bool landmarks seen last frame
         self.prev_obs_px = None      # [L, 2]
+        self.sd = None               # SemiDensePoints on the last KF
+        self.semidense_cloud: list = []  # exported [_, 3] np arrays
+        self.dense_cloud: list = []      # DENSE map: per-KF clouds
         self.init_pyr = None
         self.init_feats: fe.Features | None = None
         self.frames_since_kf = 0
@@ -225,6 +258,114 @@ class VisualOdometry:
                 pt_found=mstate.pt_found + tm.found.astype(jnp.int32),
             )
             return tm, mstate, tr.ok
+
+        if o.vo_type is VOType.SPARSE_ORB:
+            from . import orb_tracking as orbtrack
+
+            @jax.jit
+            def _track_orb(cur_pyr, T_pred7, mstate):
+                """SPARSE_ORB frame tracking: detect ORB features,
+                two-pass projection matching + pose-only BA (no
+                photometric alignment anywhere)."""
+                T_pred = SE3.from_params7(T_pred7)
+                feats = fe.detect_multilevel(
+                    cur_pyr, o.detect_threshold, o.grid_cell,
+                    o.feat_budgets,
+                )
+                tm = orbtrack.track_map_orb(
+                    cur_pyr[0].shape, cam, T_pred,
+                    mstate.pt_pos, mstate.pt_valid, mstate.pt_desc,
+                    feats,
+                    radius_coarse=o.orb_match_radius,
+                    max_dist=o.orb_max_hamming,
+                )
+                mstate = mstate._replace(
+                    pt_visible=mstate.pt_visible
+                    + tm.candidate.astype(jnp.int32),
+                    pt_found=mstate.pt_found + tm.found.astype(jnp.int32),
+                )
+                return tm, mstate
+
+            self._jit_track_orb = _track_orb
+
+        if (o.vo_type is VOType.SEMI_DENSE_DIRECT
+                or o.map_type is not MapType.SPARSE):
+            from . import semidense as sdm
+
+            @jax.jit
+            def _track_sd(sd, kf_img, cur_pyr, T_pred7, mstate,
+                          kf_images):
+                """SEMI_DENSE_DIRECT frame tracking: direct alignment
+                against the last keyframe over [its features + its
+                gradient pixels], then map patch tracking + pose BA,
+                then a seed update at the refined pose — one fused
+                step."""
+                slot = sd.kf_slot
+                T_kf = SE3.from_params7(mstate.kf_pose7[slot])
+                T_pred = SE3.from_params7(T_pred7)
+                kf_pyr = fe.preprocess(kf_img, o.n_levels)
+                px, depth, pmask = sdm.alignment_point_set(
+                    sd, mstate.feat_px[slot], mstate.feat_depth[slot],
+                    mstate.feat_valid[slot],
+                )
+                tr = fe.track_ref_frame(
+                    kf_pyr, cur_pyr, cam, T_kf, px, depth, pmask,
+                    T_pred, max_motion=o.max_alignment_motion,
+                )
+                patches, patch_ok = fe.reference_patches_for_landmarks(
+                    kf_images, mstate.kf_pose7,
+                    mstate.feat_px.reshape(-1, 2),
+                    mstate.feat_level.reshape(-1),
+                    mstate.pt_ref_feat, mstate.pt_pos, mstate.pt_valid,
+                    cam, tr.T_cw,
+                )
+                tm = fe.track_local_map(
+                    cur_pyr, cam, tr.T_cw, mstate.pt_pos,
+                    mstate.pt_valid, patches, patch_ok,
+                )
+                mstate = mstate._replace(
+                    pt_visible=mstate.pt_visible
+                    + tm.candidate.astype(jnp.int32),
+                    pt_found=mstate.pt_found + tm.found.astype(jnp.int32),
+                )
+                T_cur_kf = tm.T_cw.compose(T_kf.inverse())
+                sd = sdm.update(sd, kf_img, cur_pyr[0], cam, T_cur_kf)
+                return tm, mstate, tr.ok, sd
+
+            @jax.jit
+            def _sd_init(img, slot, depth_mean):
+                px, valid = sdm.select_gradient_pixels(
+                    img, cell=o.sd_cell, budget=o.sd_budget,
+                    min_grad=o.sd_min_grad,
+                )
+                seeds = dfilt.Seeds.init(
+                    px, valid, depth_mean=1.0, depth_min=0.1
+                )
+                # Rescale the unit-depth seed prior to the scene's
+                # mean depth (Seeds.init wants static floats; the
+                # mean depth is a traced scalar here).
+                seeds = seeds._replace(
+                    mu=seeds.mu / depth_mean,
+                    z_range=seeds.z_range / jnp.maximum(
+                        depth_mean, 1e-3
+                    ),
+                    sigma2=seeds.sigma2 / jnp.maximum(
+                        depth_mean, 1e-3
+                    ) ** 2,
+                )
+                return sdm.SemiDensePoints(
+                    px=px, seeds=seeds,
+                    kf_slot=jnp.asarray(slot, jnp.int32),
+                )
+
+            @jax.jit
+            def _sd_export(sd, mstate):
+                T_kf = SE3.from_params7(mstate.kf_pose7[sd.kf_slot])
+                return sdm.export_points(sd, T_kf, cam)
+
+            self._jit_track_sd = _track_sd
+            self._jit_sd_init = _sd_init
+            self._jit_sd_export = _sd_export
 
         @jax.jit
         def _triangulate(mstate, feats_px, feats_desc, feats_valid,
@@ -455,6 +596,7 @@ class VisualOdometry:
         self.last_kf_slot = slot0
         self.frames_since_kf = 0
         self.status = Status.GOOD
+        self._refresh_semidense(pyr, slot0)
         return TrackResult(Status.GOOD, T1, int(ok.sum()))
 
     # -- INITING --------------------------------------------------------
@@ -523,15 +665,15 @@ class VisualOdometry:
             padded(jnp.where(inl, rows, -1), -1),
             padded(inl, False),
         )
-        srv.state = ms.add_landmarks(
-            srv.state, rows, inl, pts, feats.desc,
-            slot0, ref_feat=slot0 * Fcap + rows,
-        )
-        # Keyframe 1 (current frame): descriptors recomputed on ITS
-        # image at the tracked positions (creation-frame descriptors
-        # degrade BoW relocalization against this keyframe).
+        # Landmark representative descriptors come from the CURRENT
+        # frame (tracking continues from here; frame-0 descriptors are
+        # already a disparity-widened viewpoint away).
         from ..ops import orb as orb_mod
         ang2, desc2 = orb_mod.compute(pyr[0], cur_px)
+        srv.state = ms.add_landmarks(
+            srv.state, rows, inl, pts, desc2,
+            slot0, ref_feat=slot0 * Fcap + rows,
+        )
         z2 = T2.apply(pts)[:, 2]
         slot1 = srv.register_keyframe(
             self.frame_id, T2,
@@ -560,17 +702,36 @@ class VisualOdometry:
         self.velocity = SE3.identity()
         self.last_kf_slot = slot1
         self.frames_since_kf = 0
+        self._refresh_semidense(pyr, slot1)
 
     # -- GOOD -----------------------------------------------------------
-    def _track_frame(self, pyr):
+    def _run_tracker(self, pyr, T_pred):
+        """Dispatch one frame through the configured VO type.  All
+        three trackers share the TrackMapResult contract, so the state
+        machine above is tracker-agnostic."""
         o = self.o
-        T_pred = self.velocity.compose(self.prev_T_cw)
-        tm, new_state, align_ok = self._jit_track(
+        if o.vo_type is VOType.SPARSE_ORB:
+            tm, new_state = self._jit_track_orb(
+                pyr, T_pred.params7(), self.server.state
+            )
+            return tm, new_state, True
+        if o.vo_type is VOType.SEMI_DENSE_DIRECT and self.sd is not None:
+            tm, new_state, ok, self.sd = self._jit_track_sd(
+                self.sd, self.kf_images[int(self.sd.kf_slot)], pyr,
+                T_pred.params7(), self.server.state, self.kf_images,
+            )
+            return tm, new_state, ok
+        return self._jit_track(
             self.prev_pyr, pyr,
             self.prev_T_cw.params7(), T_pred.params7(),
             self.server.state, self.kf_images,
             self.prev_found, self.prev_obs_px,
         )
+
+    def _track_frame(self, pyr):
+        o = self.o
+        T_pred = self.velocity.compose(self.prev_T_cw)
+        tm, new_state, align_ok = self._run_tracker(pyr, T_pred)
         n_inl = int(tm.n_inliers)
         if n_inl < o.min_track_inliers:
             self.status = Status.LOST
@@ -680,6 +841,16 @@ class VisualOdometry:
             feat_desc, feat_depth, feat_point, feat_valid,
         )
         self._store_bow(slot, feat_desc, feat_valid)
+        # Refresh landmark representative descriptors from this
+        # keyframe's re-described observations (the distinctive-
+        # descriptor maintenance the reference commented out,
+        # src/Basic/MapPoint.cpp:10-47) — without it, pt_desc ages out
+        # of matching range within a few keyframes.
+        pd = srv.state.pt_desc.at[lm_rows].set(
+            jnp.where(lm_ok[:, None], lm_desc,
+                      srv.state.pt_desc[lm_rows])
+        )
+        srv.state = srv.state._replace(pt_desc=pd)
         # New landmarks reference their creating feature's patch.
         srv.state = ms.add_landmarks(
             srv.state, rows, can_write, pos_w, new_desc, slot,
@@ -691,6 +862,7 @@ class VisualOdometry:
         # must not also spawn a seed that would later duplicate the
         # landmark) and before BA so fused observations participate.
         srv.state = self._jit_fuse_neighbors(srv.state, jnp.asarray(slot))
+        self._refresh_semidense(pyr, slot)
         # --- depth filter: promote converged seeds, start new ones ---
         if self.o.use_depth_filter:
             self._promote_seeds()
@@ -732,6 +904,78 @@ class VisualOdometry:
         # BA-refined state.
         self.prev_T_cw = srv.state.kf_pose(slot)
         self.T_cw = self.prev_T_cw
+
+    # -- semi-dense / dense map maintenance ------------------------------
+    def _mean_map_depth(self, slot) -> float:
+        m = self.server.state
+        z = m.kf_pose(slot).apply(m.pt_pos)[:, 2]
+        sel = m.pt_valid & (z > 0.05)
+        n = int(sel.sum())
+        if n == 0:
+            return 1.0
+        return float(jnp.where(sel, z, 0.0).sum() / n)
+
+    def _accumulate_dense(self, pyr, slot, stride: int = 4):
+        """DENSE map content: back-project the keyframe's depth image
+        (RGBD sensor) into a world point cloud (host-side; the DENSE
+        map type of legacy system.h:33-37)."""
+        import numpy as _np
+
+        d = _np.asarray(self.cur_depth)
+        H, W = d.shape
+        ys, xs = _np.mgrid[0:H:stride, 0:W:stride]
+        z = d[ys, xs].reshape(-1)
+        ok = _np.isfinite(z) & (z > 0.05)
+        if not ok.any():
+            return
+        px = _np.c_[xs.reshape(-1)[ok], ys.reshape(-1)[ok]].astype(
+            _np.float32
+        )
+        T_cw = self.server.state.kf_pose(slot)
+        pts = self.cam.pixel_to_world(
+            jnp.asarray(px), T_cw, depth=jnp.asarray(z[ok], jnp.float32)
+        )
+        self.dense_cloud.append(_np.asarray(pts))
+
+    def _refresh_semidense(self, pyr, slot):
+        """At each new keyframe: export the outgoing keyframe's
+        converged gradient-pixel seeds into the semi-dense cloud, then
+        seed a fresh gradient-pixel set on the new keyframe."""
+        o = self.o
+        needs_sd = (
+            o.vo_type is VOType.SEMI_DENSE_DIRECT
+            or o.map_type is MapType.SEMI_DENSE
+        )
+        if o.map_type is MapType.DENSE and self.cur_depth is not None:
+            self._accumulate_dense(pyr, slot)
+        if not needs_sd:
+            return
+        if self.sd is not None:
+            pts, ok = self._jit_sd_export(self.sd, self.server.state)
+            ok_np = np.asarray(ok)
+            if ok_np.any():
+                self.semidense_cloud.append(np.asarray(pts)[ok_np])
+        mean_d = self._mean_map_depth(slot)
+        self.sd = self._jit_sd_init(
+            pyr[0], slot, jnp.asarray(max(mean_d, 1e-2), jnp.float32)
+        )
+
+    def export_point_cloud(self) -> np.ndarray:
+        """The configured map type's point content as [N, 3] world
+        coordinates: landmarks (SPARSE) + semi-dense keyframe depth
+        maps (SEMI_DENSE) + back-projected depth images (DENSE)."""
+        m = self.server.state
+        sel = np.asarray(m.pt_valid)
+        clouds = [np.asarray(m.pt_pos)[sel]]
+        if self.sd is not None:
+            pts, ok = self._jit_sd_export(self.sd, m)
+            clouds.append(np.asarray(pts)[np.asarray(ok)])
+        clouds.extend(self.semidense_cloud)
+        clouds.extend(self.dense_cloud)
+        return (
+            np.concatenate(clouds, axis=0) if clouds
+            else np.zeros((0, 3), np.float32)
+        )
 
     # -- LOST -----------------------------------------------------------
     def _promote_seeds(self):
@@ -809,12 +1053,7 @@ class VisualOdometry:
         then hard-reset after `lost_reset_frames` failures."""
         self.lost_count += 1
         self.velocity = SE3.identity()
-        tm, new_state, _ = self._jit_track(
-            self.prev_pyr, pyr,
-            self.prev_T_cw.params7(), self.prev_T_cw.params7(),
-            self.server.state, self.kf_images,
-            self.prev_found, self.prev_obs_px,
-        )
+        tm, new_state, _ = self._run_tracker(pyr, self.prev_T_cw)
         if int(tm.n_inliers) >= self.o.min_track_inliers:
             self.status = Status.GOOD
             self.server.state = new_state
@@ -877,6 +1116,9 @@ class VisualOdometry:
         self.lost_count = 0
         self.seeds = None
         self.seed_kf_slot = -1
+        self.sd = None
+        self.semidense_cloud = []
+        self.dense_cloud = []
         if self.vocab is not None:
             self.kf_bow = jnp.zeros_like(self.kf_bow)
             self.kf_nodes = jnp.full_like(self.kf_nodes, -1)

@@ -14,6 +14,7 @@ implemented it).
 """
 from __future__ import annotations
 
+import dataclasses
 import enum
 
 import numpy as np
@@ -21,7 +22,9 @@ import jax.numpy as jnp
 
 from ..geometry.se3 import SE3
 from ..map import state as ms
-from ..models.visual_odometry import VisualOdometry, VOOptions, Status
+from ..models.visual_odometry import (
+    VisualOdometry, VOOptions, Status, VOType, MapType,
+)
 from .config import Config, camera_from_config, apply_to, VO_CONFIG_KEYS
 from . import trajectory as traj
 
@@ -50,6 +53,20 @@ class System:
         opts = options or VOOptions()
         if config_file:
             opts = apply_to(opts, VO_CONFIG_KEYS)
+            # VO method / map type switching (config/default.yaml:10-12,
+            # legacy system.h:19-38): system.vo in {sparse_direct,
+            # sparse_orb, semi_dense_direct}, system.map in {sparse,
+            # semi_dense, dense}.
+            vo_key = Config.get("system.vo")
+            if vo_key is not None:
+                opts = dataclasses.replace(
+                    opts, vo_type=VOType[str(vo_key).upper()]
+                )
+            map_key = Config.get("system.map")
+            if map_key is not None:
+                opts = dataclasses.replace(
+                    opts, map_type=MapType[str(map_key).upper()]
+                )
         self.vo = VisualOdometry(cam, opts)
         self._shutdown = False
 
@@ -84,6 +101,12 @@ class System:
         poses = [p for _, p in self.vo.trajectory]
         traj.save_tum(path, stamps, poses)
 
+    def export_point_cloud(self) -> np.ndarray:
+        """World point cloud for the configured map type (landmarks +
+        semi-dense keyframe depth maps + dense RGBD back-projections,
+        legacy system.h:33-37's SPARSE/SEMI_DENSE/DENSE)."""
+        return self.vo.export_point_cloud()
+
     def save_map(self, path: str):
         """Serialize the full MapState + server bookkeeping + the
         VO-side arrays needed to RESUME from the map (keyframe BoW
@@ -99,6 +122,10 @@ class System:
         if self.vo.vocab is not None:
             arrays["__kf_bow"] = np.asarray(self.vo.kf_bow)
             arrays["__kf_nodes"] = np.asarray(self.vo.kf_nodes)
+        if self.vo.semidense_cloud or self.vo.dense_cloud:
+            arrays["__aux_cloud"] = np.concatenate(
+                self.vo.semidense_cloud + self.vo.dense_cloud, axis=0
+            )
         np.savez_compressed(path, **arrays)
 
     def load_map(self, path: str):
@@ -116,3 +143,5 @@ class System:
         if "__kf_bow" in data and self.vo.vocab is not None:
             self.vo.kf_bow = jnp.asarray(data["__kf_bow"])
             self.vo.kf_nodes = jnp.asarray(data["__kf_nodes"])
+        if "__aux_cloud" in data:
+            self.vo.semidense_cloud = [np.asarray(data["__aux_cloud"])]
