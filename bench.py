@@ -101,11 +101,15 @@ def main():
     min_inl = int(jnp.min(inliers))
     assert pose_err < 2e-2, f"tracking inaccurate: {pose_err}"
     assert min_inl > 0.8 * N, f"inliers collapsed: {min_inl}/{N}"
-    t0 = time.perf_counter()
-    out = track_chunk(T0, frames)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    fps = n_frames / dt
+    # Median of 3 timed reps: the remote-TPU tunnel adds +-20%
+    # run-to-run noise on a single measurement.
+    dts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = track_chunk(T0, frames)
+        jax.block_until_ready(out)
+        dts.append(time.perf_counter() - t0)
+    fps = n_frames / sorted(dts)[1]
     print(
         json.dumps(
             {

@@ -67,3 +67,84 @@ class TestBatchTracking:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+class TestBatchedTrackStep:
+    """Full batched per-frame step (sparse align + patch align +
+    pose-only BA across S sequences in one call)."""
+
+    def _problem(self, S=3, N=60):
+        from ygz_slam_tpu.ops.interp import sample_patches
+
+        rng = np.random.default_rng(0)
+        T_gt = se3.exp(jnp.asarray(
+            [0.02, -0.01, 0.005, 0.002, -0.003, 0.001], jnp.float32))
+        refs, curs, pxs, ds, pws, pats = [], [], [], [], [], []
+        H, W = SHAPE
+        for s in range(S):
+            sc = PlaneScene(CAM, plane_z=3.0, seed=70 + s)
+            ir = sc.render(SE3.identity(), SHAPE)
+            ic = sc.render(T_gt, SHAPE)
+            px = jnp.asarray(np.c_[
+                rng.uniform(15, W - 15, N), rng.uniform(15, H - 15, N)
+            ], jnp.float32)
+            d = sc.depth(px, SE3.identity())
+            pw = CAM.pixel_to_world(
+                px, SE3.identity(), depth=d, distorted=False
+            )
+            refs.append(pyramid.build_pyramid(ir, 3))
+            curs.append(pyramid.build_pyramid(ic, 3))
+            pxs.append(px); ds.append(d); pws.append(pw)
+            pats.append(sample_patches(ir, px, 10))
+        rp = tuple(jnp.stack([r[l] for r in refs]) for l in range(3))
+        cp = tuple(jnp.stack([c[l] for c in curs]) for l in range(3))
+        return (rp, cp, jnp.stack(pxs), jnp.stack(ds), jnp.stack(pws),
+                jnp.stack(pats), T_gt, S, N)
+
+    def test_full_step_converges_per_sequence(self):
+        from ygz_slam_tpu.parallel import batched_track_step
+
+        rp, cp, px, d, pw, pat, T_gt, S, N = self._problem()
+        T0 = SE3.from_params7(
+            jnp.tile(SE3.identity().params7()[None], (S, 1))
+        )
+        T_out, inl = jax.jit(lambda: batched_track_step(
+            rp, cp, CAM, px, d, jnp.ones((S, N), bool), pw, pat, T0
+        ))()
+        for s in range(S):
+            err = float(se3.distance(
+                jax.tree.map(lambda a: a[s], T_out), T_gt
+            ))
+            assert err < 5e-3, (s, err)
+            assert int(inl[s]) > 0.8 * N, (s, int(inl[s]))
+
+    def test_batched_align2d_matches_single(self):
+        """CPU fallback of batched_align2d must equal per-sequence
+        align2d exactly (same code path, vmapped)."""
+        from ygz_slam_tpu.ops.align import align2d
+        from ygz_slam_tpu.parallel import batched_align2d
+        from ygz_slam_tpu.ops.interp import sample_patches
+
+        rng = np.random.default_rng(1)
+        S, N = 2, 40
+        H, W = SHAPE
+        imgs, pats, inits = [], [], []
+        for s in range(S):
+            sc = PlaneScene(CAM, plane_z=3.0, seed=90 + s)
+            img = sc.render(SE3.identity(), SHAPE)
+            px = jnp.asarray(np.c_[
+                rng.uniform(15, W - 15, N), rng.uniform(15, H - 15, N)
+            ], jnp.float32)
+            imgs.append(img)
+            pats.append(sample_patches(img, px, 10))
+            inits.append(px + jnp.asarray(
+                rng.uniform(-2, 2, (N, 2)), jnp.float32))
+        xy, conv, err = batched_align2d(
+            jnp.stack(imgs), jnp.stack(pats), jnp.stack(inits)
+        )
+        for s in range(S):
+            r = align2d(imgs[s], pats[s], inits[s])
+            assert np.allclose(np.asarray(xy[s]), np.asarray(r.xy),
+                               atol=1e-5)
+            assert np.array_equal(np.asarray(conv[s]),
+                                  np.asarray(r.converged))

@@ -109,6 +109,8 @@ class VOOptions:
     grid_cell: int = 16
     feat_budgets: tuple = (160, 64, 32)   # per-level detection budgets
     init_min_features: int = 80           # init.min_features (yaml :45)
+    init_check_descriptors: bool = True   # CheckFrameDescriptors
+    init_desc_max_dist: int = 100         # (Matcher.cpp:45-84)
     init_min_disparity: float = 20.0      # init.min_disparity (:46)
     init_min_inliers: int = 40            # init.min_inliers (:47)
     min_track_inliers: int = 30           # TrackLocalMap gate (hdr :19)
@@ -212,6 +214,18 @@ class VisualOdometry:
         @jax.jit
         def _klt(ref_pyr, cur_pyr, px, px_init):
             return klt_pyramidal(ref_pyr, cur_pyr, px, px_init)
+
+        @jax.jit
+        def _desc_check(ref_desc, img, px):
+            """Descriptor re-check of KLT matches (Matcher::
+            CheckFrameDescriptors, Matcher.cpp:45-84): Hamming distance
+            between each init feature's descriptor and a descriptor
+            freshly computed at its tracked position."""
+            from ..ops import orb as orb_mod
+            from ..ops.hamming import hamming_distance
+
+            _, desc_cur = orb_mod.compute(img, px)
+            return hamming_distance(ref_desc, desc_cur)
 
         @jax.jit
         def _init(p1, p2, mask, key):
@@ -452,6 +466,7 @@ class VisualOdometry:
             self._jit_loop = _loop
 
         self._jit_detect = _detect
+        self._jit_desc_check = _desc_check
         self._jit_describe_at = _describe_at
         self._jit_detect_free = _detect_free
         self._jit_klt = _klt
@@ -606,6 +621,14 @@ class VisualOdometry:
             self.init_pyr, pyr, self.init_feats.px, self.init_track_px
         )
         tracked = self.init_feats.valid & klt.converged
+        if o.init_check_descriptors:
+            d = self._jit_desc_check(
+                self.init_feats.desc, pyr[0], klt.xy
+            )
+            cand = tracked & (d <= o.init_desc_max_dist)
+            # Defensive: never let the re-check itself starve init.
+            if int(cand.sum()) >= o.init_min_features:
+                tracked = cand
         n_tracked = int(tracked.sum())
         if n_tracked < o.init_min_features:
             # Lost the reference — restart from this frame.

@@ -86,7 +86,7 @@ def batched_sparse_align(
             + gdy[..., None] * J_proj[:, None, 1, :]
         )                                                     # [SN,16,6]
 
-        def gn_iter(_, T7):
+        def gn_iter(T7):
             Tb = SE3.from_params7(T7)
             Tp = jax.tree.map(lambda a: a[seq_idx], Tb)
             p_cur = Tp.apply(p_ref)
@@ -113,11 +113,102 @@ def batched_sparse_align(
             Tb_new = jax.vmap(
                 lambda Tb_i, d: Tb_i.compose(se3m.exp(d))
             )(SE3.from_params7(T7), dx)
-            return Tb_new.params7()
+            return Tb_new.params7(), jnp.max(jnp.linalg.norm(dx, axis=-1))
 
-        T7 = jax.lax.fori_loop(0, n_iter, gn_iter, T.params7())
+        # Early exit when EVERY sequence's GN step is tiny (the same
+        # eps=1e-4 the single-sequence gauss_newton engine uses):
+        # typical batches settle in 3-5 iterations and the per-
+        # iteration multi-image window gather is the cost center.
+        def cond(state):
+            _, it, max_step = state
+            return (it < n_iter) & (max_step > 1e-4)
+
+        def body(state):
+            T7, it, _ = state
+            T7n, max_step = gn_iter(T7)
+            return T7n, it + 1, max_step
+
+        T7, _, _ = jax.lax.while_loop(
+            cond, body,
+            (T.params7(), jnp.asarray(0, jnp.int32),
+             jnp.asarray(jnp.inf, refs.dtype)),
+        )
         T = SE3.from_params7(T7)
     return T
+
+
+def batched_align2d(
+    cur_imgs: jnp.ndarray,           # [S, H, W]
+    ref_patches: jnp.ndarray,        # [S, N, 10, 10] (1-px border)
+    xy_init: jnp.ndarray,            # [S, N, 2]
+    n_iter: int = 10,
+    max_error: float = 30.0,
+):
+    """Batched patch alignment across S sequences: the TPU path flattens
+    all S*N patches into one multi-image VMEM window GN; off-TPU it
+    vmaps the single-image aligner.  Returns (xy [S,N,2],
+    converged [S,N], err [S,N])."""
+    from ..ops.align import align2d
+
+    S, N = ref_patches.shape[:2]
+    H, W = cur_imgs.shape[1:]
+    patch = ref_patches.shape[2] - 2
+    if not (ak.on_tpu() and ak.usable((H, W), patch + 3) and patch == 8):
+        res = jax.vmap(
+            lambda img, rp, xy: align2d(
+                img, rp, xy, n_iter=n_iter, max_error=max_error
+            )
+        )(cur_imgs, ref_patches, xy_init)
+        return res.xy, res.converged, res.error
+
+    seq_idx = jnp.repeat(jnp.arange(S, dtype=jnp.int32), N)
+    xy0 = xy_init.reshape(S * N, 2)
+    inb0 = in_bounds(xy0, H, W, margin=patch / 2 + 2)
+    xy0s = jnp.where(inb0[:, None], xy0, jnp.full_like(xy0, patch + 2.0))
+    xy, mean, err = ak.align2d_pallas_multi(
+        cur_imgs, seq_idx, ref_patches.reshape(S * N, *ref_patches.shape[2:]),
+        xy0s, n_iter=n_iter,
+    )
+    inb = in_bounds(xy, H, W, margin=patch / 2 + 1)
+    drift = jnp.linalg.norm(xy - xy0, axis=-1)
+    conv = inb0 & inb & (err < max_error) & (drift < patch * 2.0)
+    return (
+        xy.reshape(S, N, 2), conv.reshape(S, N), err.reshape(S, N)
+    )
+
+
+def batched_track_step(
+    ref_pyrs,                        # per level [S, h, w]
+    cur_pyrs,
+    cam,
+    px_ref: jnp.ndarray,             # [S, N, 2]
+    depth_ref: jnp.ndarray,          # [S, N]
+    mask: jnp.ndarray,               # [S, N]
+    pts_w: jnp.ndarray,              # [S, N, 3] landmark positions
+    ref_patches: jnp.ndarray,        # [S, N, 10, 10]
+    T_init: SE3,                     # batched [S]
+    n_align_iter: int = 15,
+) -> tuple[SE3, jnp.ndarray]:
+    """The FULL per-frame tracking computation for S sequences at once
+    (multi-sequence batch SfM): batched sparse-direct alignment ->
+    batched map patch alignment -> batched pose-only BA.  One jit call
+    advances every sequence one frame; returns (poses [S], inliers [S]).
+    """
+    from ..solvers.ba import pose_only_ba
+
+    S, N = mask.shape
+    T = batched_sparse_align(
+        ref_pyrs, cur_pyrs, cam, px_ref, depth_ref, mask, T_init,
+        n_iter=n_align_iter,
+    )
+    proj = jax.vmap(
+        lambda Ti, p: cam.world_to_pixel(p, Ti, distorted=False)
+    )(T, pts_w)
+    xy, conv, _err = batched_align2d(cur_pyrs[0], ref_patches, proj)
+    T_out, inlier, _chi2 = jax.vmap(
+        lambda Ti, p, o, m: pose_only_ba(Ti, p, o, m, cam)
+    )(T, pts_w, xy, conv & mask)
+    return T_out, jnp.sum(inlier, axis=-1)
 
 
 def sharded_batch_align(
