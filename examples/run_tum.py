@@ -41,15 +41,27 @@ def main():
     ap.add_argument("dataset")
     ap.add_argument("--sensor", default="rgbd",
                     choices=["rgbd", "monocular"])
+    ap.add_argument("--vo", default="sparse_direct",
+                    choices=["sparse_direct", "sparse_orb",
+                             "semi_dense_direct"],
+                    help="frontend method (system.vo)")
+    ap.add_argument("--map", default="sparse", dest="map_type",
+                    choices=["sparse", "semi_dense", "dense"],
+                    help="map content (system.map)")
     ap.add_argument("--config", default=None)
     ap.add_argument("--out", default="/tmp/ygz_tum")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
+    from ygz_slam_tpu.models import VOType, MapType
+
     cam = PinholeCamera.create(**FR1)
     sensor = Sensor.RGBD if args.sensor == "rgbd" else Sensor.MONOCULAR
     slam = System(config_file=args.config, camera=cam, sensor=sensor,
-                  options=VOOptions())
+                  options=VOOptions(
+                      vo_type=VOType[args.vo.upper()],
+                      map_type=MapType[args.map_type.upper()],
+                  ))
     ds = TumDataset(args.dataset)
     print(f"{len(ds)} frames")
     for i, fd in enumerate(ds):
@@ -77,6 +89,8 @@ def main():
     viewer.plot_trajectory(os.path.join(args.out, "trajectory.png"), tr)
     viewer.plot_map(os.path.join(args.out, "map.png"),
                     slam.vo.server.state, tr)
+    viewer.save_ply(os.path.join(args.out, "cloud.ply"),
+                    slam.export_point_cloud())
     print(f"outputs in {args.out}")
 
 

@@ -20,6 +20,23 @@ from ..geometry.se3 import SE3
 import jax.numpy as jnp
 
 
+def save_ply(path: str, points: np.ndarray) -> None:
+    """Write an [N, 3] world point cloud as ASCII PLY (the portable
+    artifact for the SEMI_DENSE / DENSE map types; any mesh viewer
+    opens it — the reference's Pangolin window equivalent offline)."""
+    pts = np.asarray(points, np.float32).reshape(-1, 3)
+    pts = pts[np.isfinite(pts).all(axis=1)]
+    with open(path, "w") as f:
+        f.write(
+            "ply\nformat ascii 1.0\n"
+            f"element vertex {len(pts)}\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            "end_header\n"
+        )
+        for p in pts:
+            f.write(f"{p[0]:.5f} {p[1]:.5f} {p[2]:.5f}\n")
+
+
 def _centers(poses_cw) -> np.ndarray:
     out = []
     for T in poses_cw:
