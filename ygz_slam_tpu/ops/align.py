@@ -75,7 +75,10 @@ def align2d(
         )
         inb = in_bounds(xy, H, W, margin=patch / 2 + 1)
         drift = jnp.linalg.norm(xy - xy_init, axis=-1)
-        converged = inb0 & inb & (err < max_error) & (drift < patch * 2.0)
+        # The cached-window kernel clamps sampling beyond CACHE_SLACK
+        # px of drift — such points must be rejected, not trusted.
+        max_drift = min(patch * 2.0, float(_ak.CACHE_SLACK))
+        converged = inb0 & inb & (err < max_error) & (drift < max_drift)
         return AlignResult(xy=xy, converged=converged, error=err)
     # Interior reference patch and its gradients (inverse compositional:
     # Jacobians live on the reference, computed once).

@@ -53,9 +53,16 @@ def _patch_offsets(dtype=jnp.float32):
 
 def _level_align(
     ref_img, cur_img, cam, px_ref, p_ref, visible0, T_init, n_iter, level,
-    use_weights,
+    use_weights, cache_windows=False,
 ):
-    """One pyramid level's GN alignment; returns (T, chi2, H, n_used)."""
+    """One pyramid level's GN alignment; returns (T, chi2, H, n_used).
+
+    With cache_windows (fine levels, where the pose correction left by
+    the coarser level moves projections by at most a few px), each
+    point's current-image neighborhood is fetched ONCE into a [16, 16]
+    cache and every GN iteration samples inside it; points that drift
+    out of their cache are masked out of that iteration's normal
+    equations (not clamped — clamping would bias the pose)."""
     scale = 1.0 / (2.0 ** level)
     Hh, Ww = ref_img.shape
     N = px_ref.shape[0]
@@ -92,12 +99,59 @@ def _level_align(
     J = dx[..., None] * J_proj[:, None, 0, :] + dy[..., None] * J_proj[:, None, 1, :]
     # [N,16,6]
 
+    use_cache = use_tpu_windows and cache_windows
+    if use_cache:
+        CWIN = 16
+        half6 = (PATCH + 1) / 2.0           # 2.5 (6-point bilinear grid)
+        cslack = (CWIN - PATCH - 3) / 2.0   # 4.5 px at this level
+        px_c0 = cam.camera_to_pixel(T_init.apply(p_ref)) * scale
+        px_c0 = jnp.nan_to_num(px_c0)
+        ox = jnp.clip(
+            jnp.floor(px_c0[:, 0] - half6) - jnp.floor(cslack), 0, Ww - CWIN
+        ).astype(jnp.int32)
+        oy = jnp.clip(
+            jnp.floor(px_c0[:, 1] - half6) - jnp.floor(cslack), 0, Hh - CWIN
+        ).astype(jnp.int32)
+        cwins = _ak.gather_windows(cur_img, ox, oy, CWIN)    # [N,16,16]
+
+        def sample_cached(px_cur):
+            """6x6 bilinear window from the per-point cache; returns
+            (p6c [N,6,6], inwin [N])."""
+            posx = px_cur[:, 0] - half6 - ox
+            posy = px_cur[:, 1] - half6 - oy
+            inwin = (
+                (posx >= 0.0) & (posx <= CWIN - PATCH - 3)
+                & (posy >= 0.0) & (posy <= CWIN - PATCH - 3)
+            )
+            posx = jnp.clip(posx, 0.0, CWIN - PATCH - 3.0)
+            posy = jnp.clip(posy, 0.0, CWIN - PATCH - 3.0)
+            x0 = jnp.floor(posx).astype(jnp.int32)
+            y0 = jnp.floor(posy).astype(jnp.int32)
+            ax = (posx - x0)[:, None, None]
+            ay = (posy - y0)[:, None, None]
+            rows = y0[:, None] + jnp.arange(PATCH + 3)[None, :]
+            cols = x0[:, None] + jnp.arange(PATCH + 3)[None, :]
+            sub = jnp.take_along_axis(cwins, rows[:, :, None], axis=1)
+            sub = jnp.take_along_axis(sub, cols[:, None, :], axis=2)
+            s = PATCH + 2
+            p6c = (
+                sub[:, :s, :s] * (1 - ax) * (1 - ay)
+                + sub[:, :s, 1:] * ax * (1 - ay)
+                + sub[:, 1:, :s] * (1 - ax) * ay
+                + sub[:, 1:, 1:] * ax * ay
+            )
+            return p6c, inwin
+
     def compute(T):
         p_cur = T.apply(p_ref)
         behind = p_cur[:, 2] < 1e-3
         px_cur = cam.camera_to_pixel(p_cur) * scale
         okc = vis & (~behind) & in_bounds(px_cur, Hh, Ww, margin=PATCH_HALF + 2)
-        if use_tpu_windows:
+        if use_cache:
+            p6c, inwin = sample_cached(jnp.nan_to_num(px_cur))
+            cur_patch = p6c[:, 1:5, 1:5].reshape(-1, PATCH_AREA)
+            okc = okc & inwin
+        elif use_tpu_windows:
             # Sample a size-6 window and take its interior: the grids
             # are nested (floor(c-2.5) = floor(c-1.5)-1), so this IS
             # the 4x4 patch — and it reuses the ref sampler's Mosaic
@@ -172,5 +226,11 @@ def sparse_image_align(
         T, chi2, H, n_vis = _level_align(
             ref_pyr[level], cur_pyr[level], cam, px_ref, p_ref, visible0,
             T, n_iter, level, use_weights,
+            # Fine levels start from the coarser level's solution, so
+            # per-point motion is a few px at most — safe to serve all
+            # GN iterations from one cached window per point.  The
+            # coarsest level absorbs the unknown initial motion and
+            # keeps per-iteration fetches.
+            cache_windows=(level < max_level),
         )
     return AlignStats(T_cur_ref=T, chi2=chi2, n_visible=n_vis, H=H)

@@ -171,7 +171,8 @@ def batched_align2d(
     )
     inb = in_bounds(xy, H, W, margin=patch / 2 + 1)
     drift = jnp.linalg.norm(xy - xy0, axis=-1)
-    conv = inb0 & inb & (err < max_error) & (drift < patch * 2.0)
+    max_drift = min(patch * 2.0, float(ak.CACHE_SLACK))
+    conv = inb0 & inb & (err < max_error) & (drift < max_drift)
     return (
         xy.reshape(S, N, 2), conv.reshape(S, N), err.reshape(S, N)
     )
