@@ -98,3 +98,103 @@ class TestWindowKernels:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+class TestCachedWindowAligners:
+    """The cached-window scheme: one [32,32] fetch per point, all GN
+    iterations sample in-cache; drift past CACHE_SLACK is rejected."""
+
+    def _scene(self, seed=0):
+        from ygz_slam_tpu.utils.synthetic import PlaneScene
+        from ygz_slam_tpu.geometry import PinholeCamera, SE3
+
+        CAM = PinholeCamera.create(320.0, 320.0, 160.0, 120.0)
+        scene = PlaneScene(CAM, plane_z=3.0, seed=seed)
+        img = scene.render(SE3.identity(), (240, 320))
+        rng = np.random.default_rng(seed)
+        xy_gt = jnp.asarray(
+            np.c_[rng.uniform(20, 300, 32), rng.uniform(20, 220, 32)],
+            jnp.float32,
+        )
+        return img, xy_gt, sample_patches(img, xy_gt, 10)
+
+    def test_multi_matches_single(self):
+        from ygz_slam_tpu.ops.pallas import align2d_kernel as ak
+
+        img, xy_gt, patches = self._scene()
+        init = xy_gt + jnp.asarray([[1.5, -1.2]])
+        xy1, m1, e1 = ak.align2d_pallas(img, patches, init)
+        imgs = jnp.stack([img, img + 3.0])
+        N = xy_gt.shape[0]
+        si = jnp.concatenate([jnp.zeros(N, jnp.int32),
+                              jnp.ones(N, jnp.int32)])
+        xy2, m2, e2 = ak.align2d_pallas_multi(
+            imgs, si, jnp.tile(patches, (2, 1, 1)),
+            jnp.tile(init, (2, 1)),
+        )
+        # Sequence 0 must reproduce the single-image result exactly;
+        # sequence 1's image is brightness-shifted, which the mean-diff
+        # term absorbs, so positions agree there too.
+        assert np.allclose(np.asarray(xy2[:N]), np.asarray(xy1), atol=1e-5)
+        assert np.allclose(np.asarray(xy2[N:]), np.asarray(xy1), atol=0.05)
+
+    def test_align2d_rejects_drift_beyond_cache(self):
+        """An init more than CACHE_SLACK px away from the true position
+        cannot be reached inside the cache; ops.align.align2d must mark
+        the point unconverged rather than return a clamped position."""
+        from ygz_slam_tpu.ops.pallas import align2d_kernel as ak
+        from ygz_slam_tpu.ops import align as align_mod
+
+        img, xy_gt, patches = self._scene(1)
+        far = float(ak.CACHE_SLACK) + 4.0
+        init = xy_gt + jnp.asarray([[far, 0.0]])
+        # Force the TPU dispatch path (kernels run in interpret mode).
+        orig = ak.on_tpu
+        ak.on_tpu = lambda: True
+        try:
+            res = align_mod.align2d(img, patches, init)
+        finally:
+            ak.on_tpu = orig
+        conv = np.asarray(res.converged)
+        drift = np.linalg.norm(np.asarray(res.xy - init), axis=1)
+        # Whatever converged must satisfy the (tightened) drift gate.
+        assert np.all(drift[conv] < float(ak.CACHE_SLACK))
+
+    def test_sparse_align_tpu_path_matches_jnp_path(self):
+        """Full sparse_image_align through the TPU window path (cached
+        fine levels) in interpret mode vs the jnp gather path: same
+        pose to sub-milli-radian."""
+        from ygz_slam_tpu.ops.pallas import align2d_kernel as ak
+        from ygz_slam_tpu.ops.sparse_align import sparse_image_align
+        from ygz_slam_tpu.ops import pyramid, fast
+        from ygz_slam_tpu.utils.synthetic import PlaneScene
+        from ygz_slam_tpu.geometry import PinholeCamera, SE3, se3
+
+        CAM = PinholeCamera.create(320.0, 320.0, 160.0, 120.0)
+        scene = PlaneScene(CAM, plane_z=3.0, seed=2)
+        T_gt = se3.exp(jnp.asarray(
+            [0.03, -0.02, 0.01, 0.002, -0.004, 0.002], jnp.float32))
+        img_r = scene.render(SE3.identity(), (240, 320))
+        img_c = scene.render(T_gt, (240, 320))
+        c = fast.detect(img_r, 20.0, cell=16, max_corners=80)
+        depth = scene.depth(c.xy, SE3.identity())
+        rp = pyramid.build_pyramid(img_r, 3)
+        cp = pyramid.build_pyramid(img_c, 3)
+
+        st_jnp = sparse_image_align(
+            rp, cp, CAM, c.xy, depth, c.mask, SE3.identity(),
+            distorted=False,
+        )
+        orig = ak.on_tpu
+        ak.on_tpu = lambda: True
+        try:
+            st_tpu = sparse_image_align(
+                rp, cp, CAM, c.xy, depth, c.mask, SE3.identity(),
+                distorted=False,
+            )
+        finally:
+            ak.on_tpu = orig
+        d_jnp = float(se3.distance(st_jnp.T_cur_ref, T_gt))
+        d_tpu = float(se3.distance(st_tpu.T_cur_ref, T_gt))
+        assert d_tpu < 1e-2, d_tpu
+        assert abs(d_tpu - d_jnp) < 2e-3, (d_jnp, d_tpu)
