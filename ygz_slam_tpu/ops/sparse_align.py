@@ -183,8 +183,10 @@ def _level_align(
     # eps 1e-4 in the tangent is ~0.03 px at f=500 — far below noise;
     # enables early exit from the sequential GN loop (throughput).
     T_out, stats = gauss_newton(compute, retract, T_init, n_iter=n_iter, eps=1e-4)
-    H_final, _, chi2_final = compute(T_out)
-    return T_out, chi2_final, H_final, jnp.sum(vis)
+    # The GN carry's (H, chi2) are already evaluated at T_out — no
+    # extra compute() pass (each pass costs a Pallas window fetch on
+    # the non-cached levels).
+    return T_out, stats.chi2, stats.H, jnp.sum(vis)
 
 
 def sparse_image_align(

@@ -100,71 +100,70 @@ def pose_only_ba(
     Returns:
       (optimized pose, inlier mask [N], final chi2 scalar).
     """
-    N = points.shape[0]
-    obs = Observations(
-        kf_idx=jnp.zeros((N,), jnp.int32),
-        pt_idx=jnp.arange(N, dtype=jnp.int32),
-        px=px,
-        mask=mask,
-    )
+    # Specialized reproject: one pose against all points, no
+    # Observations indirection — the generic path's kf_idx/pt_idx
+    # gathers are identity here, and dropping them shortens the serial
+    # GN dependency chain (the tracking hot path runs this ~40 deep).
+    def _reproj(T):
+        pc = T.apply(points)
+        valid = mask & (pc[..., 2] > MIN_DEPTH)
+        pc_safe = pc.at[..., 2].set(jnp.maximum(pc[..., 2], MIN_DEPTH))
+        proj = cam.camera_to_pixel(pc_safe, distorted=False)
+        r = proj - px
+        Jp = jac.duv_dxi(pc_safe, cam.fx, cam.fy)
+        return r, Jp, valid
 
-    def one_round(carry, round_i):
-        T, inlier = carry
+    # The round loop is unrolled in Python (rounds is static and tiny):
+    # only round 0 traces the MAD-scale medians (two sorts), and each
+    # round's reclassification reproject doubles as the next round's
+    # weight-freeze reproject.
+    T, inlier = T_cw, mask
+    r_cur, _, valid_cur = _reproj(T)
+    chi2_last = jnp.asarray(0.0, px.dtype)
+    for round_i in range(rounds):
         # Round 0: redescending Tukey with MAD scale — given a decent
         # initial pose this zeroes gross outliers entirely (bounded
         # Huber influence can be outvoted at high contamination).
         # Middle rounds: Huber. Last round: plain least squares on the
         # surviving inliers (the reference drops the robust kernel in
         # its final round, BA.cpp:236-241).
-        use_tukey = round_i == 0
-        use_huber = (round_i > 0) & (round_i < rounds - 1)
-
         # IRLS: freeze the robust weights at the round's starting pose.
         # Recomputing them inside the GN objective makes chi2
         # non-monotone (weights shift as residuals move), which falsely
         # triggers the rollback and stalls the solver.
-        p0 = jax.tree.map(lambda a: a[None], T)
-        r0, _, _, valid0 = reproject(p0, points, obs, cam)
-        valid0 = valid0 & inlier
-        rn0 = jnp.linalg.norm(r0, axis=-1)
-        sigma = jnp.maximum(robust.mad_scale(rn0, valid0), 1.0)
-        w_frozen = jnp.where(
-            use_tukey,
-            robust.tukey_weight(rn0 / sigma),
-            jnp.where(
-                use_huber, robust.huber_weight(rn0, jnp.sqrt(chi2_th)), 1.0
-            ),
-        )
+        valid0 = valid_cur & inlier
+        rn0 = jnp.linalg.norm(r_cur, axis=-1)
+        if round_i == 0:
+            sigma = jnp.maximum(robust.mad_scale(rn0, valid0), 1.0)
+            w_frozen = robust.tukey_weight(rn0 / sigma)
+        elif round_i < rounds - 1:
+            w_frozen = robust.huber_weight(rn0, jnp.sqrt(chi2_th))
+        else:
+            w_frozen = jnp.ones_like(rn0)
         w_frozen = jnp.where(valid0, w_frozen, 0.0)
 
-        def compute(Tc):
-            p1 = jax.tree.map(lambda a: a[None], Tc)
-            r, Jp, _, valid = reproject(p1, points, obs, cam)
+        def compute(Tc, w_frozen=w_frozen):
+            r, Jp, valid = _reproj(Tc)
             w = jnp.where(valid, w_frozen, 0.0)
             H = jnp.einsum("oia,o,oib->ab", Jp, w, Jp)
             b = -jnp.einsum("oia,o,oi->a", Jp, w, r)
             chi2 = jnp.sum(w * jnp.sum(r * r, axis=-1))
             return H, b, chi2
 
-        T_new, stats = gauss_newton(
+        T, stats = gauss_newton(
             compute, lambda x, dx: se3m.boxplus(x, dx), T,
             n_iter=iters_per_round, eps=1e-4,
         )
+        chi2_last = stats.chi2
         # Re-classify: chi2 per observation under the new pose.
-        p1 = jax.tree.map(lambda a: a[None], T_new)
-        r, _, _, valid = reproject(p1, points, obs, cam)
-        chi2_per = jnp.sum(r * r, axis=-1)
-        new_inlier = valid & (chi2_per < chi2_th)
+        r_cur, _, valid_cur = _reproj(T)
+        chi2_per = jnp.sum(r_cur * r_cur, axis=-1)
+        new_inlier = valid_cur & (chi2_per < chi2_th)
         # Guard: if classification empties the set (pose not yet
         # converged), keep the previous inlier set so later rounds can
         # still make progress.
-        new_inlier = jnp.where(jnp.any(new_inlier), new_inlier, inlier)
-        return (T_new, new_inlier), stats.chi2
-
-    (T_out, inlier), chi2s = jax.lax.scan(
-        one_round, (T_cw, mask), jnp.arange(rounds)
-    )
-    return T_out, inlier, chi2s[-1]
+        inlier = jnp.where(jnp.any(new_inlier), new_inlier, inlier)
+    return T, inlier, chi2_last
 
 
 # --------------------------------------------------------------------------

@@ -28,6 +28,7 @@ class SolveStats(NamedTuple):
     chi2: jnp.ndarray       # final chi2
     iters: jnp.ndarray      # iterations actually taken
     converged: jnp.ndarray  # update norm fell below eps
+    H: jnp.ndarray | None = None  # Hessian at the final state (GN only)
 
 
 def _solve_spd(H: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -110,7 +111,9 @@ def gauss_newton(
         converged=false_like,
     )
     out = jax.lax.while_loop(cond, body, init)
-    return out.x, SolveStats(out.chi2, out.it, out.converged)
+    # The carried (H, chi2) were evaluated at out.x, so callers that
+    # want the final Hessian/chi2 need no extra compute() pass.
+    return out.x, SolveStats(out.chi2, out.it, out.converged, out.H)
 
 
 def levenberg_marquardt(
