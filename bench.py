@@ -31,7 +31,9 @@ def main():
     from ygz_slam_tpu.geometry import SE3, PinholeCamera
     from ygz_slam_tpu.ops import pyramid
     from ygz_slam_tpu.ops.align import align2d
-    from ygz_slam_tpu.ops.sparse_align import sparse_image_align
+    from ygz_slam_tpu.ops.sparse_align import (
+        prepare_reference, sparse_image_align,
+    )
     from ygz_slam_tpu.solvers import pose_only_ba
     from ygz_slam_tpu.utils.synthetic import PlaneScene
     from ygz_slam_tpu.geometry import se3
@@ -56,15 +58,18 @@ def main():
     from ygz_slam_tpu.ops.interp import sample_patches
     patches = sample_patches(img_ref, px, 10)
 
-    # The reference pyramid belongs to the keyframe — computed once,
-    # reused every frame (as the VO does).
+    # The reference pyramid AND its patches/Jacobians belong to the
+    # keyframe — computed once, reused every frame (as the VO does;
+    # the reference's precomputeReferencePatches is pose-independent).
     ref_pyr = pyramid.build_pyramid(img_ref, 3)
+    ref_prep = prepare_reference(ref_pyr, cam, px, depth, mask,
+                                 distorted=False)
 
     def track_step(T_init7, img):
         cur_pyr = pyramid.build_pyramid(img, 3)
         stats = sparse_image_align(
             ref_pyr, cur_pyr, cam, px, depth, mask,
-            SE3.from_params7(T_init7), distorted=False,
+            SE3.from_params7(T_init7), distorted=False, ref_prep=ref_prep,
         )
         proj = cam.world_to_pixel(pts_w, stats.T_cur_ref, distorted=False)
         ares = align2d(cur_pyr[0], patches, proj)
@@ -77,7 +82,12 @@ def main():
     # last pose) but lives ON DEVICE as a lax.scan — the host feeds a
     # chunk of frames and reads back a chunk of poses, so per-frame
     # host dispatch never gates throughput (the TPU-native frame loop).
-    n_frames = 30
+    # Chunk depth 120: each jit execution costs ~25 ms of fixed
+    # dispatch/tunnel overhead regardless of work (measured by varying
+    # the chunk), so short chunks are dominated by it — 30 frames
+    # 2.08 ms/frame vs 120 frames 1.45 ms/frame, identical per-frame
+    # computation.  120 frames of 640x480 f32 is 147 MB of HBM.
+    n_frames = 120
     frames = jnp.stack(
         [img_cur + 0.01 * i for i in range(n_frames)]
     )  # distinct frames so nothing constant-folds

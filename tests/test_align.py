@@ -194,6 +194,32 @@ class TestSparseAlign:
         stats = track(ref_pyr, cur_pyr, xy, depth, mask)
         assert float(se3.distance(stats.T_cur_ref, T_cur)) < 5e-3
 
+    def test_prepared_reference_matches_default(self):
+        # prepare_reference (per-keyframe hoist of the patch/Jacobian
+        # precompute) must be bit-identical to the in-call path.
+        from ygz_slam_tpu.ops.sparse_align import prepare_reference
+
+        scene, T_ref, T_cur, img_ref, img_cur = scene_and_views()
+        xy, mask = detect_features(img_ref, n=120)
+        depth = scene.depth(xy, T_ref)
+        ref_pyr = pyramid.build_pyramid(img_ref, 3)
+        cur_pyr = pyramid.build_pyramid(img_cur, 3)
+        prep = prepare_reference(ref_pyr, CAM, xy, depth, mask,
+                                 distorted=False)
+        a = sparse_image_align(
+            ref_pyr, cur_pyr, CAM, xy, depth, mask, SE3.identity(),
+            distorted=False,
+        )
+        b = sparse_image_align(
+            ref_pyr, cur_pyr, CAM, xy, depth, mask, SE3.identity(),
+            distorted=False, ref_prep=prep,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.T_cur_ref.params7()),
+            np.asarray(b.T_cur_ref.params7()),
+        )
+        assert float(se3.distance(b.T_cur_ref, T_cur)) < 5e-3
+
     def test_larger_motion_with_init(self):
         # Bigger baseline: fails from identity at fine-only, but the
         # coarse-to-fine schedule should still capture it.

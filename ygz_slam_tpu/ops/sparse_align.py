@@ -51,24 +51,27 @@ def _patch_offsets(dtype=jnp.float32):
     return gx.reshape(-1), gy.reshape(-1)   # [16]
 
 
-def _level_align(
-    ref_img, cur_img, cam, px_ref, p_ref, visible0, T_init, n_iter, level,
-    use_weights, cache_windows=False,
-):
-    """One pyramid level's GN alignment; returns (T, chi2, H, n_used).
+class LevelRef(NamedTuple):
+    """Per-level precomputed reference data for sparse_image_align.
 
-    With cache_windows (fine levels, where the pose correction left by
-    the coarser level moves projections by at most a few px), each
-    point's current-image neighborhood is fetched ONCE into a [16, 16]
-    cache and every GN iteration samples inside it; points that drift
-    out of their cache are masked out of that iteration's normal
-    equations (not clamped — clamping would bias the pose)."""
+    Depends only on the REFERENCE frame (its pyramid, feature pixels
+    and depths) — the analog of precomputeReferencePatches
+    (src/Algorithm/SparseImageAlign.cpp:59-122), which the reference
+    evaluates once per alignment because it is constant in the
+    optimized pose.  Computing it once per KEYFRAME (prepare_reference)
+    removes one window fetch + Jacobian build per level from every
+    tracked frame."""
+    vis: jnp.ndarray        # [N] feature usable at this level
+    ref_patch: jnp.ndarray  # [N, 16] reference patch intensities
+    J: jnp.ndarray          # [N, 16, 6] inverse-compositional Jacobians
+
+
+def _prep_level(ref_img, cam, px_ref, p_ref, visible0, level) -> LevelRef:
+    """Reference patches + inverse-compositional Jacobians for one
+    pyramid level (constant w.r.t. the optimized pose)."""
     scale = 1.0 / (2.0 ** level)
     Hh, Ww = ref_img.shape
-    N = px_ref.shape[0]
     gx, gy = _patch_offsets(ref_img.dtype)
-
-    # ---- precompute reference patches + inverse-compositional Jacobians
     from .pallas import align2d_kernel as _ak
 
     use_tpu_windows = _ak.on_tpu() and _ak.usable((Hh, Ww), PATCH + 2)
@@ -97,7 +100,32 @@ def _level_align(
         )
     J_proj = jac.duv_dxi(p_ref, cam.fx * scale, cam.fy * scale)  # [N,2,6]
     J = dx[..., None] * J_proj[:, None, 0, :] + dy[..., None] * J_proj[:, None, 1, :]
-    # [N,16,6]
+    return LevelRef(vis=vis, ref_patch=ref_patch, J=J)
+
+
+def _level_align(
+    ref_img, cur_img, cam, px_ref, p_ref, visible0, T_init, n_iter, level,
+    use_weights, cache_windows=False, level_ref: LevelRef | None = None,
+):
+    """One pyramid level's GN alignment; returns (T, chi2, H, n_used).
+
+    With cache_windows (fine levels, where the pose correction left by
+    the coarser level moves projections by at most a few px), each
+    point's current-image neighborhood is fetched ONCE into a [16, 16]
+    cache and every GN iteration samples inside it; points that drift
+    out of their cache are masked out of that iteration's normal
+    equations (not clamped — clamping would bias the pose)."""
+    scale = 1.0 / (2.0 ** level)
+    Hh, Ww = ref_img.shape
+    N = px_ref.shape[0]
+
+    from .pallas import align2d_kernel as _ak
+
+    use_tpu_windows = _ak.on_tpu() and _ak.usable((Hh, Ww), PATCH + 2)
+    if level_ref is None:
+        level_ref = _prep_level(ref_img, cam, px_ref, p_ref, visible0, level)
+    vis, ref_patch, J = level_ref
+    gx, gy = _patch_offsets(ref_img.dtype)
 
     use_cache = use_tpu_windows and cache_windows
     if use_cache:
@@ -189,6 +217,41 @@ def _level_align(
     return T_out, stats.chi2, stats.H, jnp.sum(vis)
 
 
+class ReferencePrep(NamedTuple):
+    """Precomputed reference side of sparse_image_align: 3D points in
+    the ref camera + per-level patches/Jacobians.  Constant per
+    keyframe; compute once with prepare_reference and pass to every
+    sparse_image_align against that keyframe."""
+    p_ref: jnp.ndarray              # [N, 3] ref-camera points
+    levels: tuple                   # LevelRef per level, coarse..fine order
+                                    # indexed [level]
+
+
+def prepare_reference(
+    ref_pyr: tuple[jnp.ndarray, ...],
+    cam,
+    px_ref: jnp.ndarray,
+    depth_ref: jnp.ndarray,
+    mask: jnp.ndarray,
+    max_level: int | None = None,
+    min_level: int = 0,
+    distorted: bool = True,
+) -> ReferencePrep:
+    """Precompute everything sparse_image_align needs from the
+    reference frame (the per-keyframe analog of
+    precomputeReferencePatches, SparseImageAlign.cpp:59-122)."""
+    if max_level is None:
+        max_level = len(ref_pyr) - 1
+    p_ref = cam.pixel_to_camera(px_ref, depth_ref, distorted=distorted)
+    visible0 = mask & (depth_ref > 1e-3)
+    levels = [None] * len(ref_pyr)
+    for level in range(max_level, min_level - 1, -1):
+        levels[level] = _prep_level(
+            ref_pyr[level], cam, px_ref, p_ref, visible0, level
+        )
+    return ReferencePrep(p_ref=p_ref, levels=tuple(levels))
+
+
 def sparse_image_align(
     ref_pyr: tuple[jnp.ndarray, ...],
     cur_pyr: tuple[jnp.ndarray, ...],
@@ -202,6 +265,7 @@ def sparse_image_align(
     min_level: int = 0,
     use_weights: bool = False,
     distorted: bool = True,
+    ref_prep: ReferencePrep | None = None,
 ) -> AlignStats:
     """Coarse-to-fine sparse-direct alignment.
 
@@ -218,7 +282,12 @@ def sparse_image_align(
     """
     if max_level is None:
         max_level = len(ref_pyr) - 1
-    p_ref = cam.pixel_to_camera(px_ref, depth_ref, distorted=distorted)
+    if ref_prep is None:
+        ref_prep = prepare_reference(
+            ref_pyr, cam, px_ref, depth_ref, mask,
+            max_level=max_level, min_level=min_level, distorted=distorted,
+        )
+    p_ref = ref_prep.p_ref
     visible0 = mask & (depth_ref > 1e-3)
     T = T_init
     chi2 = jnp.asarray(0.0, ref_pyr[0].dtype)
@@ -234,5 +303,6 @@ def sparse_image_align(
             # coarsest level absorbs the unknown initial motion and
             # keeps per-iteration fetches.
             cache_windows=(level < max_level),
+            level_ref=ref_prep.levels[level],
         )
     return AlignStats(T_cur_ref=T, chi2=chi2, n_visible=n_vis, H=H)
