@@ -64,6 +64,8 @@ def main():
     ref_pyr = pyramid.build_pyramid(img_ref, 3)
     ref_prep = prepare_reference(ref_pyr, cam, px, depth, mask,
                                  distorted=False)
+    from ygz_slam_tpu.ops.pallas.align2d_fused import align2d_prepare
+    a2d_prep = align2d_prepare(patches)
 
     def track_step(T_init7, img):
         cur_pyr = pyramid.build_pyramid(img, 3)
@@ -72,7 +74,7 @@ def main():
             SE3.from_params7(T_init7), distorted=False, ref_prep=ref_prep,
         )
         proj = cam.world_to_pixel(pts_w, stats.T_cur_ref, distorted=False)
-        ares = align2d(cur_pyr[0], patches, proj)
+        ares = align2d(cur_pyr[0], patches, proj, prep=a2d_prep)
         T, inlier, chi2 = pose_only_ba(
             stats.T_cur_ref, pts_w, ares.xy, ares.converged & mask, cam
         )

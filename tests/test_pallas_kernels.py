@@ -100,6 +100,57 @@ if __name__ == "__main__":
     pytest.main([__file__, "-q"])
 
 
+class TestFusedAligner:
+    """align2d_fused: the whole GN loop inside ONE kernel (lane-roll
+    sampling over flattened [N, 1024] windows) must reproduce the
+    multi-kernel cached-window aligner."""
+
+    def test_matches_align2d_pallas(self):
+        from ygz_slam_tpu.utils.synthetic import PlaneScene
+        from ygz_slam_tpu.geometry import PinholeCamera, SE3
+        from ygz_slam_tpu.ops.pallas import align2d_kernel as ak
+        from ygz_slam_tpu.ops.pallas import align2d_fused as af
+
+        CAM = PinholeCamera.create(320.0, 320.0, 160.0, 120.0)
+        scene = PlaneScene(CAM, plane_z=3.0, seed=3)
+        img = scene.render(SE3.identity(), (240, 320))
+        rng = np.random.default_rng(3)
+        xy_gt = jnp.asarray(
+            np.c_[rng.uniform(20, 300, 48), rng.uniform(20, 220, 48)],
+            jnp.float32,
+        )
+        patches = sample_patches(img, xy_gt, 10)
+        init = xy_gt + jnp.asarray(
+            rng.uniform(-2.5, 2.5, (48, 2)), jnp.float32
+        )
+        xy_a, m_a, e_a = ak.align2d_pallas(img, patches, init)
+        prep = af.align2d_prepare(patches)
+        xy_b, m_b, e_b = af.align2d_fused(img, prep, init)
+        np.testing.assert_allclose(
+            np.asarray(xy_b), np.asarray(xy_a), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(e_b), np.asarray(e_a), atol=1e-3
+        )
+        d = np.linalg.norm(np.asarray(xy_b - xy_gt), axis=1)
+        assert np.median(d) < 0.05, np.median(d)
+
+    def test_edge_points_finite(self):
+        from ygz_slam_tpu.ops.pallas import align2d_fused as af
+
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.uniform(0, 255, (240, 320)), jnp.float32)
+        init = jnp.asarray(
+            [[5.0, 5.0], [314.0, 234.0], [0.0, 120.0], [160.0, 239.0]],
+            jnp.float32,
+        )
+        patches = sample_patches(img, init, 10)
+        prep = af.align2d_prepare(patches)
+        xy, mean, err = af.align2d_fused(img, prep, init)
+        assert bool(jnp.isfinite(xy).all())
+        assert bool(jnp.isfinite(err).all())
+
+
 class TestCachedWindowAligners:
     """The cached-window scheme: one [32,32] fetch per point, all GN
     iterations sample in-cache; drift past CACHE_SLACK is rejected."""

@@ -46,6 +46,8 @@ def align2d(
     patch: int = 8,
     conv_eps: float = 0.03,
     max_error: float = 30.0,
+    use_tpu: bool | None = None,
+    prep=None,
 ) -> AlignResult:
     """Batched Align2D: refine N 2-D positions in `cur_img` so the local
     patch matches the reference patch, estimating (du, dv, mean_diff).
@@ -66,12 +68,17 @@ def align2d(
     # the same optimization ~4.5x faster than the XLA-gather loop.
     from .pallas import align2d_kernel as _ak
 
-    if _ak.on_tpu() and _ak.usable((H, W), patch + 3) and patch == 8:
+    tpu_ok = _ak.on_tpu() if use_tpu is None else use_tpu
+    if tpu_ok and _ak.usable((H, W), patch + 3) and patch == 8:
+        from .pallas import align2d_fused as _af
+
         xy0 = xy_init.astype(cur_img.dtype)
         inb0 = in_bounds(xy0, H, W, margin=patch / 2 + 2)
         xy0s = jnp.where(inb0[:, None], xy0, jnp.full_like(xy0, patch + 2.0))
-        xy, mean_diff, err = _ak.align2d_pallas(
-            cur_img, ref_patch_border, xy0s, n_iter=n_iter
+        if prep is None:
+            prep = _af.align2d_prepare(ref_patch_border)
+        xy, mean_diff, err = _af.align2d_fused(
+            cur_img, prep, xy0s, n_iter=n_iter, conv_eps=conv_eps
         )
         inb = in_bounds(xy, H, W, margin=patch / 2 + 1)
         drift = jnp.linalg.norm(xy - xy_init, axis=-1)

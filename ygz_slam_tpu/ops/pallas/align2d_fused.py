@@ -1,0 +1,209 @@
+"""Fully-fused batched Align2D Gauss-Newton as ONE Pallas TPU kernel.
+
+The XLA formulation of the cached-window aligner (align2d_kernel.
+align2d_pallas) runs each GN iteration as a chain of ~10 device
+kernels inside a `lax.while_loop`; at 200 points the launch/dependency
+latency of that chain — not the math — dominates the tracking step
+(bench-level ablation: the iteration cap moves the frame time by
+~25 us/iteration).  Here the whole optimization — per-iteration
+bilinear sampling, residuals, the per-point 3x3 solve, convergence
+freezing, and the final acceptance residual — runs inside a single
+kernel over VMEM-resident state, so an iteration costs vector ops
+instead of kernel launches.
+
+Geometry matches align2d_pallas exactly (reference semantics:
+cvutils::Align2D, src/Algorithm/CVUtils.cpp:186-318 — 8x8 patch,
+(du, dv, mean_diff) inverse-compositional GN, 10 iterations, 0.03 px
+convergence, budget-exhausted positions judged by the caller's gates):
+
+- Each point owns a CACHE_WIN x CACHE_WIN VMEM window fetched once
+  (gather_windows); all iterations sample inside it, positions clamped
+  to the window and rejected by the caller beyond CACHE_SLACK drift.
+- Windows are flattened to [N, CACHE_WIN^2] lanes.  Sampling at
+  integer offset (y0, x0) is a lane-roll by s = y0*CACHE_WIN + x0,
+  realized as 10 static power-of-two rolls masked by the bits of s
+  (Mosaic rejects per-point dynamic slices/rolls: offsets are not
+  tile-aligned, and pltpu.roll miscompiles dynamic shifts).  The
+  9x9 support needed for bilinear mixing lives at lanes
+  32*r + c, r,c in [0,8], so one roll serves the whole patch.
+- The reference patch, its gradients and the inverted 3x3 normal
+  matrix are pose-independent: prepared once (align2d_prepare) in the
+  same padded lane layout, so keyframe-constant work never re-enters
+  the per-frame path.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .align2d_kernel import (
+    CACHE_SLACK, CACHE_WIN, PATCH, gather_windows, on_tpu, usable,
+)
+
+FLAT = CACHE_WIN * CACHE_WIN          # 1024 flattened window lanes
+_SMAX_BITS = 10                       # max roll 759 = 23*32 + 23 < 2^10
+
+
+class Align2DPrep(NamedTuple):
+    """Pose-independent side of align2d, padded to kernel layout.
+    Compute once per keyframe (align2d_prepare); constant across every
+    frame aligned against those reference patches."""
+    ref: jnp.ndarray     # [N, FLAT] patch values at lanes 32r+c (r,c<8)
+    jx: jnp.ndarray      # [N, FLAT] x-gradient, same layout
+    jy: jnp.ndarray      # [N, FLAT] y-gradient, same layout
+    hinv: jnp.ndarray    # [N, 16] row-major inverse 3x3 normal matrix
+                         #         (lanes 9..15 zero)
+
+
+def _pad_patch(vals: jnp.ndarray) -> jnp.ndarray:
+    """[N, 8, 8] -> [N, FLAT] with entry (r, c) at lane CACHE_WIN*r+c."""
+    N = vals.shape[0]
+    z = jnp.zeros((N, PATCH, CACHE_WIN - PATCH), vals.dtype)
+    rows = jnp.concatenate([vals, z], axis=2)            # [N, 8, 32]
+    tail = jnp.zeros((N, FLAT - PATCH * CACHE_WIN), vals.dtype)
+    return jnp.concatenate([rows.reshape(N, -1), tail], axis=1)
+
+
+def align2d_prepare(ref_patch_border: jnp.ndarray) -> Align2DPrep:
+    """Precompute patch/gradient/normal-matrix state from [N, 10, 10]
+    reference patches (with border) — cvutils::Align2D's reference-side
+    setup, hoisted out of the per-frame path."""
+    N = ref_patch_border.shape[0]
+    ref = ref_patch_border[:, 1:-1, 1:-1]
+    dx = 0.5 * (ref_patch_border[:, 1:-1, 2:] - ref_patch_border[:, 1:-1, :-2])
+    dy = 0.5 * (ref_patch_border[:, 2:, 1:-1] - ref_patch_border[:, :-2, 1:-1])
+    J = jnp.stack([dx, dy, jnp.ones_like(dx)], axis=-1).reshape(N, -1, 3)
+    H3 = jnp.einsum("npa,npb->nab", J, J)
+    hinv = jnp.linalg.inv(H3 + 1e-6 * jnp.eye(3)).reshape(N, 9)
+    hinv = jnp.pad(hinv, ((0, 0), (0, 7)))
+    return Align2DPrep(
+        ref=_pad_patch(ref), jx=_pad_patch(dx), jy=_pad_patch(dy), hinv=hinv,
+    )
+
+
+def _fused_kernel(n_iter: int, conv_eps: float,
+                  wins_ref, ref_ref, jx_ref, jy_ref, hinv_ref, meta_ref,
+                  out_ref):
+    from jax.experimental.pallas import tpu as pltpu
+
+    wins = wins_ref[...]                   # [N, FLAT]
+    refp = ref_ref[...]
+    jx = jx_ref[...]
+    jy = jy_ref[...]
+    hinv = hinv_ref[...]                   # [N, 16]
+    meta = meta_ref[...]                   # [N, 8]: ox, oy, x_init, y_init
+    N = wins.shape[0]
+    dt = wins.dtype
+    half = (PATCH - 1) / 2.0
+    lim = float(CACHE_WIN - PATCH - 1)     # clamp bound inside the cache
+
+    ox = meta[:, 0]
+    oy = meta[:, 1]
+    # valid-lane mask for the 8x8 residual support.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, FLAT), 1)
+    lr = lane // CACHE_WIN
+    lc = lane % CACHE_WIN
+    valid = ((lr < PATCH) & (lc < PATCH)).astype(dt)       # [1, FLAT]
+    npix = float(PATCH * PATCH)
+
+    def sample(x, y):
+        """Bilinear [N, FLAT] patch stack at per-point float (x, y);
+        returns (cur, fx, fy) with the patch at lanes 32r+c."""
+        fx = jnp.clip(x - half - ox, 0.0, lim)
+        fy = jnp.clip(y - half - oy, 0.0, lim)
+        x0 = jnp.floor(fx)
+        y0 = jnp.floor(fy)
+        ax = (fx - x0)[:, None]
+        ay = (fy - y0)[:, None]
+        s = y0.astype(jnp.int32) * CACHE_WIN + x0.astype(jnp.int32)   # [N]
+        w = wins
+        # pltpu.roll wants non-negative shifts: left-roll by k is a
+        # right-roll by FLAT - k.
+        for b in range(_SMAX_BITS):
+            bit = ((s >> b) & 1).astype(dt)[:, None]       # [N, 1]
+            w = bit * pltpu.roll(w, FLAT - (1 << b), 1) + (1.0 - bit) * w
+        cur = (
+            (1 - ax) * (1 - ay) * w
+            + ax * (1 - ay) * pltpu.roll(w, FLAT - 1, 1)
+            + (1 - ax) * ay * pltpu.roll(w, FLAT - CACHE_WIN, 1)
+            + ax * ay * pltpu.roll(w, FLAT - (CACHE_WIN + 1), 1)
+        )
+        return cur
+
+    # Statically unrolled GN iterations (n_iter is small and static;
+    # Mosaic fails to legalize scf.for with this carry structure).
+    # `frozen` carried as 0/1 float — vector<i1> carries don't lower.
+    x = meta[:, 2]
+    y = meta[:, 3]
+    mean = jnp.zeros((N,), dt)
+    frozen = jnp.zeros((N,), dt)
+    for _ in range(n_iter):
+        cur = sample(x, y)
+        r = (cur - refp + mean[:, None]) * valid           # [N, FLAT]
+        gx = jnp.sum(r * jx, axis=1)                       # [N]
+        gy = jnp.sum(r * jy, axis=1)
+        gm = jnp.sum(r, axis=1)
+        du = hinv[:, 0] * gx + hinv[:, 1] * gy + hinv[:, 2] * gm
+        dv = hinv[:, 3] * gx + hinv[:, 4] * gy + hinv[:, 5] * gm
+        dm = hinv[:, 6] * gx + hinv[:, 7] * gy + hinv[:, 8] * gm
+        small = (du * du + dv * dv < conv_eps * conv_eps).astype(dt)
+        act = (1.0 - small) * (1.0 - frozen)
+        x = x - act * du
+        y = y - act * dv
+        mean = mean - act * dm
+        frozen = jnp.maximum(frozen, small)
+    cur = sample(x, y)
+    err = jnp.sum(jnp.abs((cur - refp + mean[:, None]) * valid), axis=1) / npix
+    out = jnp.stack([x, y, mean, err], axis=1)             # [N, 4]
+    out_ref[...] = jnp.pad(out, ((0, 0), (0, 4)))
+
+
+def align2d_fused(
+    cur_img: jnp.ndarray,
+    prep: Align2DPrep,
+    xy_init: jnp.ndarray,
+    n_iter: int = 10,
+    conv_eps: float = 0.03,
+):
+    """Cached-window align2d with the GN loop fused into one kernel.
+
+    Same contract as align2d_kernel.align2d_pallas: returns
+    (xy [N,2], mean [N], err [N]); the caller rejects drift beyond
+    CACHE_SLACK and err above its threshold."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    H, W = cur_img.shape
+    N = xy_init.shape[0]
+    half = (PATCH - 1) / 2.0
+    ox = jnp.clip(
+        jnp.floor(xy_init[:, 0] - half) - CACHE_SLACK, 0, W - CACHE_WIN
+    ).astype(jnp.int32)
+    oy = jnp.clip(
+        jnp.floor(xy_init[:, 1] - half) - CACHE_SLACK, 0, H - CACHE_WIN
+    ).astype(jnp.int32)
+    wins = gather_windows(cur_img, ox, oy, CACHE_WIN)      # [N, 32, 32]
+    meta = jnp.stack(
+        [ox.astype(cur_img.dtype), oy.astype(cur_img.dtype),
+         xy_init[:, 0].astype(cur_img.dtype),
+         xy_init[:, 1].astype(cur_img.dtype)],
+        axis=1,
+    )
+    meta = jnp.pad(meta, ((0, 0), (0, 4)))
+    out = pl.pallas_call(
+        partial(_fused_kernel, n_iter, conv_eps),
+        out_shape=jax.ShapeDtypeStruct((N, 8), cur_img.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(
+        wins.reshape(N, FLAT),
+        prep.ref.astype(cur_img.dtype),
+        prep.jx.astype(cur_img.dtype),
+        prep.jy.astype(cur_img.dtype),
+        prep.hinv.astype(cur_img.dtype),
+        meta,
+    )
+    return out[:, :2], out[:, 2], out[:, 3]
