@@ -37,6 +37,11 @@ PATCH_HALF = 2
 PATCH = 2 * PATCH_HALF          # 4x4 patches (SparseImageAlign.h)
 PATCH_AREA = PATCH * PATCH
 
+# Bench-level A/B toggle for the fused per-level GN kernel
+# (_bench_ablate.py); the fused path needs on_tpu() and no robust
+# weights.
+USE_FUSED_LEVEL = True
+
 
 class AlignStats(NamedTuple):
     T_cur_ref: SE3
@@ -64,6 +69,10 @@ class LevelRef(NamedTuple):
     vis: jnp.ndarray        # [N] feature usable at this level
     ref_patch: jnp.ndarray  # [N, 16] reference patch intensities
     J: jnp.ndarray          # [N, 16, 6] inverse-compositional Jacobians
+    # Packed lane layouts for the fused Pallas GN kernel (None on the
+    # CPU/jnp path): patch entry (r, c) at lane 16r+c.
+    refp_lanes: jnp.ndarray | None = None   # [N, 256]
+    jlanes: jnp.ndarray | None = None       # [N, 6*256]
 
 
 def _prep_level(ref_img, cam, px_ref, p_ref, visible0, level) -> LevelRef:
@@ -100,7 +109,13 @@ def _prep_level(ref_img, cam, px_ref, p_ref, visible0, level) -> LevelRef:
         )
     J_proj = jac.duv_dxi(p_ref, cam.fx * scale, cam.fy * scale)  # [N,2,6]
     J = dx[..., None] * J_proj[:, None, 0, :] + dy[..., None] * J_proj[:, None, 1, :]
-    return LevelRef(vis=vis, ref_patch=ref_patch, J=J)
+    refp_lanes = jlanes = None
+    if use_tpu_windows:
+        from .pallas import sparse_align_fused as _sf
+        refp_lanes = _sf.pack_patch_lanes(ref_patch)
+        jlanes = _sf.pack_jacobian_lanes(J)
+    return LevelRef(vis=vis, ref_patch=ref_patch, J=J,
+                    refp_lanes=refp_lanes, jlanes=jlanes)
 
 
 def _level_align(
@@ -124,8 +139,22 @@ def _level_align(
     use_tpu_windows = _ak.on_tpu() and _ak.usable((Hh, Ww), PATCH + 2)
     if level_ref is None:
         level_ref = _prep_level(ref_img, cam, px_ref, p_ref, visible0, level)
-    vis, ref_patch, J = level_ref
+    vis, ref_patch, J = level_ref[:3]
     gx, gy = _patch_offsets(ref_img.dtype)
+
+    if (USE_FUSED_LEVEL and use_tpu_windows and not use_weights
+            and level_ref.refp_lanes is not None):
+        # Entire GN loop for this level as ONE Pallas kernel (window
+        # gather + fused sampling/normal-equations/solve/retract with
+        # gauss_newton's rollback semantics) — the per-iteration
+        # kernel-launch chain of the while_loop path costs ~25 us/iter.
+        from .pallas import sparse_align_fused as _sf
+        R_out, t_out, chi2, Hm = _sf.level_align_fused(
+            cur_img, level_ref.refp_lanes, level_ref.jlanes, p_ref, vis,
+            T_init.R, T_init.t, cam, level, distorted=True,
+            n_iter=min(n_iter, 12), eps=1e-4,
+        )
+        return SE3(R_out, t_out), chi2, Hm, jnp.sum(vis)
 
     use_cache = use_tpu_windows and cache_windows
     if use_cache:
