@@ -294,6 +294,228 @@ def _kernel(n_iter: int, eps: float,
     out_ref[...] = acc
 
 
+def _kernel_v2(n_iter: int, eps: float,
+               wins_ref, refp_ref, jlanes_ref, meta_ref, glob_ref, out_ref):
+    """Substitution-only variant with data-dependent early exit.
+
+    Two structural changes over _kernel:
+
+    1. The 6x6 Hessian is FROZEN at the level's init pose and factored
+       in XLA (inverse-compositional Jacobians are reference-side
+       constants, so H varies only through the visibility mask, which
+       barely moves within a level).  The kernel receives the Cholesky
+       factor L in glob and does only forward/back substitution — the
+       21 H-entry reduces (28 -> 7 lane-reduces/iteration) and the
+       ~90-op in-kernel factorization disappear.  The gradient bv and
+       chi2 still use the live per-iteration mask, so drifting points
+       can't drag the objective; a slightly stale H only perturbs the
+       step direction, which the rollback gate already polices.
+    2. The GN loop is a lax.while_loop with [1, 1] f32 carries
+       (vector<i1> carries fail to legalize; [1, 1] f32 ones compile
+       and early-exit correctly — measured 90.9 us for 10/300
+       iterations vs 676.5 us unrolled on the same toy body).  Warm
+       tracking converges in 2-4 iterations; the unrolled kernel paid
+       for all 12 every frame.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    wins = wins_ref[...]                    # [N, FLAT]
+    refp = refp_ref[...]                    # [N, FLAT]
+    jl = jlanes_ref[...]                    # [N, 6*FLAT]
+    meta = meta_ref[...]                    # [N, 8]
+    glob = glob_ref[...]                    # [1, 64]
+    dt = wins.dtype
+
+    def g(k):
+        return glob[:, k:k + 1]
+
+    J = [jl[:, a * FLAT:(a + 1) * FLAT] for a in range(6)]
+    prx = meta[:, 0:1]
+    pry = meta[:, 1:2]
+    prz = meta[:, 2:3]
+    ox = meta[:, 3:4]
+    oy = meta[:, 4:5]
+    vis = meta[:, 5:6]
+
+    fxs, fys, cxs, cys = g(12), g(13), g(14), g(15)
+    k1, k2, p1, p2 = g(16), g(17), g(18), g(19)
+    Hh, Ww = g(20), g(21)
+    Lf = [g(22 + i) for i in range(21)]     # Cholesky factor, row-major
+    margin = float(PATCH // 2 + 2)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, FLAT), 1)
+    lr = lane // CWIN
+    lc = lane % CWIN
+    valid = ((lr < PATCH) & (lc < PATCH)).astype(dt)
+
+    def s2(x):
+        return jnp.sum(jnp.sum(x, axis=0, keepdims=True), axis=1,
+                       keepdims=True)
+
+    def residual_pass(R, t):
+        """(bv 6, chi2) at pose (R, t) — the gradient side of
+        computeResiduals (SparseImageAlign.cpp:124-223); H is frozen."""
+        x = R[0] * prx + R[1] * pry + R[2] * prz + t[0]
+        y = R[3] * prx + R[4] * pry + R[5] * prz + t[1]
+        z = R[6] * prx + R[7] * pry + R[8] * prz + t[2]
+        zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+        xn = x / zs
+        yn = y / zs
+        r2 = xn * xn + yn * yn
+        radial = 1.0 + k1 * r2 + k2 * r2 * r2
+        xd = xn * radial + 2.0 * p1 * xn * yn + p2 * (r2 + 2.0 * xn * xn)
+        yd = yn * radial + p1 * (r2 + 2.0 * yn * yn) + 2.0 * p2 * xn * yn
+        u = fxs * xd + cxs
+        v = fys * yd + cys
+        okc = (
+            (vis > 0.5) & (z > 1e-3)
+            & (u >= margin) & (u < Ww - 1.0 - margin)
+            & (v >= margin) & (v < Hh - 1.0 - margin)
+        )
+        fx = u - _HALF - ox
+        fy = v - _HALF - oy
+        inwin = (
+            (fx >= 0.0) & (fx <= CWIN - SUP) & (fy >= 0.0) & (fy <= CWIN - SUP)
+        )
+        fx = jnp.clip(fx, 0.0, float(CWIN - SUP))
+        fy = jnp.clip(fy, 0.0, float(CWIN - SUP))
+        x0 = jnp.floor(fx)
+        y0 = jnp.floor(fy)
+        ax = fx - x0
+        ay = fy - y0
+        s = y0.astype(jnp.int32) * CWIN + x0.astype(jnp.int32)
+        w = wins
+        for bb in range(_SMAX_BITS):
+            bit = ((s >> bb) & 1).astype(dt)
+            w = bit * pltpu.roll(w, FLAT - (1 << bb), 1) + (1.0 - bit) * w
+        cur = (
+            (1 - ax) * (1 - ay) * w
+            + ax * (1 - ay) * pltpu.roll(w, FLAT - 1, 1)
+            + (1 - ax) * ay * pltpu.roll(w, FLAT - CWIN, 1)
+            + ax * ay * pltpu.roll(w, FLAT - (CWIN + 1), 1)
+        )
+        r = (cur - refp) * valid
+        wgt = (okc & inwin).astype(dt)
+        rw = r * wgt
+        bv = [-s2(J[a] * rw) for a in range(6)]
+        denom = jnp.maximum(s2(wgt * valid), 1.0)
+        chi2 = s2(rw * r) / denom
+        return bv, chi2
+
+    def subst(bv):
+        """Solve L L^T dx = bv (factor precomputed in XLA; non-finite
+        guard matching solvers.nlls._solve_spd)."""
+        L = [[None] * 6 for _ in range(6)]
+        k = 0
+        for i in range(6):
+            for q in range(i + 1):
+                L[i][q] = Lf[k]
+                k += 1
+        yv = [None] * 6
+        for i in range(6):
+            sacc = bv[i]
+            for q in range(i):
+                sacc = sacc - L[i][q] * yv[q]
+            yv[i] = sacc / L[i][i]
+        dx = [None] * 6
+        for i in range(5, -1, -1):
+            sacc = yv[i]
+            for q in range(i + 1, 6):
+                sacc = sacc - L[q][i] * dx[q]
+            dx[i] = sacc / L[i][i]
+        finite = (dx[0] * 0.0 + 1.0)
+        for i in range(6):
+            finite = finite * jnp.where(
+                (dx[i] == dx[i]) & (jnp.abs(dx[i]) < 1e9), 1.0, 0.0
+            )
+        return [d * finite for d in dx]
+
+    def retract(R, t, dx):
+        """T <- T * exp(dx), sqrt-free Taylor Rodrigues (see _kernel)."""
+        t2 = dx[3] * dx[3] + dx[4] * dx[4] + dx[5] * dx[5]
+        theta = jnp.sqrt(jnp.maximum(t2, 1e-24))
+        sc = jnp.minimum(1.0, 1.2 / theta)
+        dxc = [d * sc for d in dx]
+        tt = t2 * sc * sc
+        a = 1.0 - tt / 6.0 * (1.0 - tt / 20.0 * (1.0 - tt / 42.0 * (1.0 - tt / 72.0)))
+        b = 0.5 * (1.0 - tt / 12.0 * (1.0 - tt / 30.0 * (1.0 - tt / 56.0 * (1.0 - tt / 90.0))))
+        c = (1.0 / 6.0) * (1.0 - tt / 20.0 * (1.0 - tt / 42.0 * (1.0 - tt / 72.0 * (1.0 - tt / 110.0))))
+        wx, wy, wz = dxc[3], dxc[4], dxc[5]
+        W = [0.0 * wx, -wz, wy, wz, 0.0 * wx, -wx, -wy, wx, 0.0 * wx]
+        W2 = [None] * 9
+        for i in range(3):
+            for j in range(3):
+                acc = 0.0 * wx
+                for q in range(3):
+                    acc = acc + W[3 * i + q] * W[3 * q + j]
+                W2[3 * i + j] = acc
+        eye = [1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0]
+        Re = [eye[i] + a * W[i] + b * W2[i] for i in range(9)]
+        Vm = [eye[i] + b * W[i] + c * W2[i] for i in range(9)]
+        te = [
+            Vm[3 * i + 0] * dxc[0] + Vm[3 * i + 1] * dxc[1] + Vm[3 * i + 2] * dxc[2]
+            for i in range(3)
+        ]
+        Rn = [None] * 9
+        for i in range(3):
+            for j in range(3):
+                acc = 0.0 * wx
+                for q in range(3):
+                    acc = acc + R[3 * i + q] * Re[3 * q + j]
+                Rn[3 * i + j] = acc
+        tn = [
+            R[3 * i + 0] * te[0] + R[3 * i + 1] * te[1] + R[3 * i + 2] * te[2]
+            + t[i]
+            for i in range(3)
+        ]
+        return Rn, tn
+
+    R = [g(i) for i in range(9)]
+    t = [g(9 + i) for i in range(3)]
+    bv, chi2 = residual_pass(R, t)
+    it0 = chi2 * 0.0
+
+    def cond(carry):
+        it, stop = carry[0], carry[1]
+        return (stop[0, 0] < 0.5) & (it[0, 0] < float(n_iter))
+
+    def body(carry):
+        it, stop = carry[0], carry[1]
+        R = list(carry[2:11])
+        t = list(carry[11:14])
+        bv = list(carry[14:20])
+        chi2 = carry[20]
+        one = chi2 * 0.0 + 1.0
+        dx = subst(bv)
+        amax = jnp.abs(dx[0])
+        for i in range(1, 6):
+            amax = jnp.maximum(amax, jnp.abs(dx[i]))
+        conv = jnp.where(amax < eps, 1.0, 0.0)
+        R_try, t_try = retract(R, t, dx)
+        bn, chi2n = residual_pass(R_try, t_try)
+        worse = jnp.where(chi2n > chi2, 1.0, 0.0)
+        upd = one - worse
+        R = [upd * n_ + worse * o_ for n_, o_ in zip(R_try, R)]
+        t = [upd * n_ + worse * o_ for n_, o_ in zip(t_try, t)]
+        bv = [upd * n_ + worse * o_ for n_, o_ in zip(bn, bv)]
+        chi2 = upd * chi2n + worse * chi2
+        stop = jnp.maximum(worse, conv)
+        return tuple([it + 1.0, stop] + R + t + bv + [chi2])
+
+    carry = tuple([it0, it0 * 0.0] + R + t + bv + [chi2])
+    carry = jax.lax.while_loop(cond, body, carry)
+    R = list(carry[2:11])
+    t = list(carry[11:14])
+    chi2 = carry[20]
+
+    vals = R + t + [chi2]                   # 13 x [1, 1]
+    olane = jax.lax.broadcasted_iota(jnp.int32, (1, 64), 1)
+    acc = jnp.zeros((1, 64), dt)
+    for k, v in enumerate(vals):
+        acc = acc + v * (olane == k).astype(dt)
+    out_ref[...] = acc
+
+
 def level_align_fused(
     cur_img: jnp.ndarray,
     refp_lanes: jnp.ndarray,
@@ -370,3 +592,90 @@ def level_align_fused(
     H = jnp.zeros((6, 6), dt).at[iu, ju].set(hv)
     H = H + jnp.triu(H, 1).T
     return R, t, chi2, H
+
+
+def level_align_fused_v2(
+    cur_img: jnp.ndarray,
+    refp_lanes: jnp.ndarray,
+    jlanes: jnp.ndarray,
+    J: jnp.ndarray,
+    p_ref: jnp.ndarray,
+    vis: jnp.ndarray,
+    R0: jnp.ndarray,
+    t0: jnp.ndarray,
+    cam,
+    level: int,
+    distorted: bool,
+    n_iter: int = 12,
+    eps: float = 1e-4,
+):
+    """level_align_fused with the frozen-Hessian / early-exit kernel.
+
+    Extra arg J: [N, 16, 6] unpacked inverse-compositional Jacobians
+    (LevelRef.J) — H = J^T W0 J is assembled here (one tiny einsum on
+    the MXU) at the level-init visibility W0 and factored once; the
+    kernel receives the Cholesky factor and the GN loop early-exits
+    when converged or rolled back.  Returns (R, t, chi2, H) where H is
+    the frozen init-pose Hessian (the Fisher-information output; it
+    differs from v1's final-pose H only through the visibility mask).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Hl, Wl = cur_img.shape
+    N = p_ref.shape[0]
+    dt = cur_img.dtype
+    scale = 1.0 / (2.0 ** level)
+
+    pc0 = p_ref @ R0.T + t0
+    px0 = cam.camera_to_pixel(pc0, distorted=distorted) * scale
+    px0 = jnp.nan_to_num(px0)
+    ox = jnp.clip(jnp.floor(px0[:, 0] - _HALF) - SLACK, 0, Wl - CWIN
+                  ).astype(jnp.int32)
+    oy = jnp.clip(jnp.floor(px0[:, 1] - _HALF) - SLACK, 0, Hl - CWIN
+                  ).astype(jnp.int32)
+    wins = gather_windows(cur_img, ox, oy, CWIN).reshape(N, FLAT)
+
+    # Frozen normal matrix at the level-init visibility (in_bounds with
+    # the kernel's margin + cheirality), factored once in XLA.
+    margin = PATCH // 2 + 2
+    wgt0 = (
+        vis & (pc0[:, 2] > 1e-3)
+        & (px0[:, 0] >= margin) & (px0[:, 0] < Wl - 1 - margin)
+        & (px0[:, 1] >= margin) & (px0[:, 1] < Hl - 1 - margin)
+    ).astype(dt)
+    H0 = jnp.einsum("npa,n,npb->ab", J, wgt0, J)
+    L = jnp.linalg.cholesky(H0 + 1e-8 * jnp.eye(6, dtype=dt))
+    L = jnp.where(jnp.isfinite(L), L, jnp.eye(6, dtype=dt))
+    il, jl_idx = jnp.tril_indices(6)
+    Lflat = L[il, jl_idx]                       # 21, row-major lower
+
+    meta = jnp.stack(
+        [p_ref[:, 0], p_ref[:, 1], p_ref[:, 2],
+         ox.astype(dt), oy.astype(dt), vis.astype(dt)], axis=1)
+    meta = jnp.pad(meta, ((0, 0), (0, 2)))
+    if distorted:
+        kk = jnp.stack([cam.k1, cam.k2, cam.p1, cam.p2])
+    else:
+        kk = jnp.zeros(4, dt)
+    glob = jnp.concatenate([
+        R0.reshape(9), t0.reshape(3),
+        jnp.stack([cam.fx * scale, cam.fy * scale,
+                   cam.cx * scale, cam.cy * scale]),
+        kk,
+        jnp.asarray([Hl, Wl], dt),
+        Lflat,
+        jnp.zeros(21, dt),
+    ]).reshape(1, 64).astype(dt)
+
+    out = pl.pallas_call(
+        partial(_kernel_v2, n_iter, eps),
+        out_shape=jax.ShapeDtypeStruct((1, 64), dt),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(wins, refp_lanes.astype(dt), jlanes.astype(dt), meta, glob)
+
+    R = out[0, 0:9].reshape(3, 3)
+    t = out[0, 9:12]
+    chi2 = out[0, 12]
+    return R, t, chi2, H0

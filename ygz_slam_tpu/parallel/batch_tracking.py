@@ -207,7 +207,9 @@ def batched_track_step(
     )(T, pts_w)
     xy, conv, _err = batched_align2d(cur_pyrs[0], ref_patches, proj)
     T_out, inlier, _chi2 = jax.vmap(
-        lambda Ti, p, o, m: pose_only_ba(Ti, p, o, m, cam)
+        # use_fused=False: this site is vmapped over sequences; the
+        # batched XLA formulation amortizes across the batch already.
+        lambda Ti, p, o, m: pose_only_ba(Ti, p, o, m, cam, use_fused=False)
     )(T, pts_w, xy, conv & mask)
     return T_out, jnp.sum(inlier, axis=-1)
 

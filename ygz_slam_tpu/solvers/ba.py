@@ -88,6 +88,7 @@ def pose_only_ba(
     rounds: int = 4,
     iters_per_round: int = 10,
     chi2_th: float = CHI2_2D,
+    use_fused: bool | None = None,
 ) -> tuple[SE3, jnp.ndarray, jnp.ndarray]:
     """Optimize one camera pose against fixed 3D points, with the
     ORB-style alternating optimize / chi2-reclassify loop
@@ -97,9 +98,25 @@ def pose_only_ba(
     Args:
       T_cw: initial pose. points: [N,3] world points. px: [N,2]
       observations. mask: [N] validity. cam: PinholeCamera.
+      use_fused: force the fused Pallas kernel on/off (None = on TPU).
     Returns:
       (optimized pose, inlier mask [N], final chi2 scalar).
     """
+    # TPU fast path: the whole 4-round solve as ONE Pallas kernel —
+    # ~40 serial GN iterations cost launch/dependency latency as a
+    # chain of small XLA ops (see ops/pallas/pose_ba_fused.py).
+    from ..ops.pallas import align2d_kernel as _ak
+
+    if use_fused is None:
+        use_fused = _ak.on_tpu()
+    if use_fused and points.dtype == jnp.float32:
+        from ..ops.pallas.pose_ba_fused import pose_only_ba_fused
+
+        return pose_only_ba_fused(
+            T_cw, points, px, mask, cam,
+            rounds=rounds, iters_per_round=iters_per_round,
+            chi2_th=chi2_th,
+        )
     # Specialized reproject: one pose against all points, no
     # Observations indirection — the generic path's kf_idx/pt_idx
     # gathers are identity here, and dropping them shortens the serial
