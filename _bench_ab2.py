@@ -1,0 +1,120 @@
+"""Same-script A/B ladder for the fused-kernel upgrades on real TPU,
+on the realistic-trajectory workload (_bench_common).
+
+Variants (cumulative, all timed at the bench level in ONE run):
+  A base       : unrolled v1 sparse kernel, XLA pose BA, unrolled align2d
+  B pose_fused : + pose-only BA as one Pallas kernel (while early exit)
+  C sparse_v2  : + frozen-H substitution-only sparse kernel (early exit)
+  D a2d_ee     : + align2d in-kernel while early exit
+Each variant passes the per-frame accuracy gate before being timed.
+"""
+import json
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+
+import _bench_common as bc
+
+
+def build(pose_fused: bool, sparse_variant: int, a2d_ee: bool):
+    from ygz_slam_tpu.geometry import SE3
+    from ygz_slam_tpu.ops import pyramid
+    from ygz_slam_tpu.ops.align import align2d
+    from ygz_slam_tpu.ops import sparse_align as sa
+    from ygz_slam_tpu.ops.sparse_align import (
+        prepare_reference, sparse_image_align,
+    )
+    from ygz_slam_tpu.ops.pallas import align2d_fused as _af
+    from ygz_slam_tpu.solvers.ba import pose_only_ba
+    from ygz_slam_tpu.ops.pallas.align2d_fused import align2d_prepare
+
+    sa.FUSED_VARIANT = sparse_variant
+    _af.EARLY_EXIT = a2d_ee
+
+    cam, px, depth, mask, pts_w, patches, ref_pyr, frames, T_gt7 = (
+        bc.make_workload()
+    )
+    ref_prep = prepare_reference(ref_pyr, cam, px, depth, mask,
+                                 distorted=False)
+    a2d_prep = align2d_prepare(patches)
+
+    def track_step(T_init7, img):
+        cur_pyr = pyramid.build_pyramid(img, 3)
+        stats = sparse_image_align(
+            ref_pyr, cur_pyr, cam, px, depth, mask,
+            SE3.from_params7(T_init7), distorted=False, ref_prep=ref_prep,
+        )
+        proj = cam.world_to_pixel(pts_w, stats.T_cur_ref, distorted=False)
+        ares = align2d(cur_pyr[0], patches, proj, prep=a2d_prep)
+        T, inlier, chi2 = pose_only_ba(
+            stats.T_cur_ref, pts_w, ares.xy, ares.converged & mask, cam,
+            use_fused=pose_fused,
+        )
+        return T.params7(), jnp.sum(inlier)
+
+    @jax.jit
+    def track_chunk(T7, frames):
+        def body(T7, img):
+            T7n, inl = track_step(T7, img)
+            return T7n, (T7n, inl)
+        return jax.lax.scan(body, T7, frames)
+
+    return track_chunk, SE3.identity().params7(), frames, T_gt7
+
+
+def time_variant(name, **flags):
+    track_chunk, T0, frames, T_gt7 = build(**flags)
+    n_frames = frames.shape[0]
+    out = track_chunk(T0, frames)
+    jax.block_until_ready(out)
+    T7_final, (T7_all, inliers) = out
+    max_err, min_inl, ok = bc.gate(T7_all, inliers, T_gt7)
+    dts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = track_chunk(T0, frames)
+        jax.block_until_ready(out)
+        dts.append(time.perf_counter() - t0)
+    fps = n_frames / sorted(dts)[1]
+    print(json.dumps({
+        "variant": name, "fps": round(fps, 1),
+        "max_pose_err": round(max_err, 5), "min_inliers": min_inl,
+        "gate_ok": ok,
+    }), flush=True)
+    return fps
+
+
+def main():
+    import sys
+
+    which = sys.argv[1] if len(sys.argv) > 1 else "ACE"
+    fps = {}
+    if "A" in which:
+        fps["A"] = time_variant("A_base", pose_fused=False,
+                                sparse_variant=1, a2d_ee=False)
+    if "B" in which:
+        fps["B"] = time_variant("B_pose_fused", pose_fused=True,
+                                sparse_variant=1, a2d_ee=False)
+    if "C" in which:
+        fps["C"] = time_variant("C_sparse_v2", pose_fused=True,
+                                sparse_variant=2, a2d_ee=False)
+    if "D" in which:
+        fps["D"] = time_variant("D_a2d_ee", pose_fused=True,
+                                sparse_variant=2, a2d_ee=True)
+    if "E" in which:
+        fps["E"] = time_variant("E_sparse_mega", pose_fused=True,
+                                sparse_variant=3, a2d_ee=False)
+    keys = sorted(fps)
+    print(json.dumps({
+        "speedups_vs_first": {
+            k: round(fps[k] / fps[keys[0]], 3) for k in keys
+        }
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

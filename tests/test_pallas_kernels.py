@@ -273,15 +273,17 @@ class TestSparseAlignFused:
         cp = pyramid.build_pyramid(img_c, 3)
         return CAM, T_gt, c, depth, rp, cp
 
-    def _run(self, fused: bool, motion):
+    def _run(self, fused: bool, motion, variant: int = 2):
         from ygz_slam_tpu.ops.pallas import align2d_kernel as ak
         from ygz_slam_tpu.ops import sparse_align as sa
         from ygz_slam_tpu.geometry import SE3
 
         CAM, T_gt, c, depth, rp, cp = self._scene(motion)
         orig_tpu, orig_flag = ak.on_tpu, sa.USE_FUSED_LEVEL
+        orig_var = sa.FUSED_VARIANT
         ak.on_tpu = lambda: True
         sa.USE_FUSED_LEVEL = fused
+        sa.FUSED_VARIANT = variant
         try:
             st = sa.sparse_image_align(
                 rp, cp, CAM, c.xy, depth, c.mask, SE3.identity(),
@@ -290,15 +292,17 @@ class TestSparseAlignFused:
         finally:
             ak.on_tpu = orig_tpu
             sa.USE_FUSED_LEVEL = orig_flag
+            sa.FUSED_VARIANT = orig_var
         return st, T_gt
 
-    def test_matches_while_loop_path(self):
+    @pytest.mark.parametrize("variant", [1, 2, 3])
+    def test_matches_while_loop_path(self, variant):
         """Fused kernel vs the lax.while_loop GN path: same pose to
         well under the convergence tolerance."""
         from ygz_slam_tpu.geometry import se3
 
         motion = [0.03, -0.02, 0.01, 0.002, -0.004, 0.002]
-        st_f, T_gt = self._run(True, motion)
+        st_f, T_gt = self._run(True, motion, variant)
         st_w, _ = self._run(False, motion)
         d_f = float(se3.distance(st_f.T_cur_ref, T_gt))
         d_w = float(se3.distance(st_w.T_cur_ref, T_gt))
@@ -309,16 +313,45 @@ class TestSparseAlignFused:
         assert np.allclose(H, H.T)
         assert np.all(np.isfinite(H)) and H[0, 0] > 0
 
-    def test_larger_motion_converges(self):
+    @pytest.mark.parametrize("variant", [1, 2])
+    def test_larger_motion_converges(self, variant):
         """~10 px of image motion: the coarse level's window slack
         (5 px at quarter resolution = 20 px at level 0) must absorb the
         initial error and hand fine levels a close init."""
         from ygz_slam_tpu.geometry import se3
 
         motion = [0.06, 0.04, -0.02, -0.004, 0.006, 0.004]
-        st_f, T_gt = self._run(True, motion)
+        st_f, T_gt = self._run(True, motion, variant)
         d_f = float(se3.distance(st_f.T_cur_ref, T_gt))
         assert d_f < 1e-2, d_f
+
+    def test_v2_matches_v1(self):
+        """Frozen-H early-exit kernel vs the unrolled recompute-H
+        kernel: same optimum (H only steers the step; both gate on the
+        same chi2 rollback)."""
+        from ygz_slam_tpu.geometry import se3
+
+        motion = [0.04, -0.01, 0.02, -0.003, 0.005, -0.002]
+        st2, T_gt = self._run(True, motion, 2)
+        st1, _ = self._run(True, motion, 1)
+        d2 = float(se3.distance(st2.T_cur_ref, T_gt))
+        d1 = float(se3.distance(st1.T_cur_ref, T_gt))
+        assert d2 < 1e-2, d2
+        assert abs(d2 - d1) < 2e-3, (d2, d1)
+
+    def test_mega_outside_envelope_degrades_gracefully(self):
+        """Motion beyond the mega kernel's fine-level window slack
+        (init-pose-centered windows): fine levels mask points out
+        rather than reading garbage, so the estimate stays finite and
+        no worse than the coarse levels leave it."""
+        from ygz_slam_tpu.geometry import se3, SE3
+
+        motion = [0.06, 0.04, -0.02, -0.004, 0.006, 0.004]
+        st3, T_gt = self._run(True, motion, 3)
+        d3 = float(se3.distance(st3.T_cur_ref, T_gt))
+        d0 = float(se3.distance(SE3.identity(), T_gt))
+        assert np.isfinite(d3)
+        assert d3 < 0.5 * d0, (d3, d0)  # coarse level still converges
 
     def test_packing_layout(self):
         """pack_patch_lanes puts entry (r, c) at lane 16r+c."""

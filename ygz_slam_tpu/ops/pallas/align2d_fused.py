@@ -45,6 +45,12 @@ from .align2d_kernel import (
 
 FLAT = CACHE_WIN * CACHE_WIN          # 1024 flattened window lanes
 _SMAX_BITS = 10                       # max roll 759 = 23*32 + 23 < 2^10
+# Bench-level A/B toggle: in-kernel while_loop that ends the GN loop
+# once every point is frozen (converged or clamped out of its cache).
+# Default OFF: measured 1415.7 -> 1386.4 fps (-2%) on the tracking
+# bench — the all-points barrier rarely fires before the 10-iteration
+# cap and the while carries cost more than they save (_bench_ab2.py).
+EARLY_EXIT = False
 
 
 class Align2DPrep(NamedTuple):
@@ -84,7 +90,7 @@ def align2d_prepare(ref_patch_border: jnp.ndarray) -> Align2DPrep:
     )
 
 
-def _fused_kernel(n_iter: int, conv_eps: float,
+def _fused_kernel(n_iter: int, conv_eps: float, early_exit: bool,
                   wins_ref, ref_ref, jx_ref, jy_ref, hinv_ref, meta_ref,
                   out_ref):
     from jax.experimental.pallas import tpu as pltpu
@@ -100,8 +106,8 @@ def _fused_kernel(n_iter: int, conv_eps: float,
     half = (PATCH - 1) / 2.0
     lim = float(CACHE_WIN - PATCH - 1)     # clamp bound inside the cache
 
-    ox = meta[:, 0]
-    oy = meta[:, 1]
+    ox = meta[:, 0:1]                      # [N, 1]
+    oy = meta[:, 1:2]
     # valid-lane mask for the 8x8 residual support.
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, FLAT), 1)
     lr = lane // CACHE_WIN
@@ -110,20 +116,27 @@ def _fused_kernel(n_iter: int, conv_eps: float,
     npix = float(PATCH * PATCH)
 
     def sample(x, y):
-        """Bilinear [N, FLAT] patch stack at per-point float (x, y);
-        returns (cur, fx, fy) with the patch at lanes 32r+c."""
-        fx = jnp.clip(x - half - ox, 0.0, lim)
-        fy = jnp.clip(y - half - oy, 0.0, lim)
+        """Bilinear [N, FLAT] patch stack at per-point [N, 1] float
+        (x, y), patch at lanes 32r+c; also returns a 0/1 [N, 1] flag
+        for positions clamped at the cache boundary."""
+        fxu = x - half - ox
+        fyu = y - half - oy
+        clamped = jnp.where(
+            (fxu < 0.0) | (fxu > lim) | (fyu < 0.0) | (fyu > lim),
+            jnp.ones_like(fxu), jnp.zeros_like(fxu),
+        )
+        fx = jnp.clip(fxu, 0.0, lim)
+        fy = jnp.clip(fyu, 0.0, lim)
         x0 = jnp.floor(fx)
         y0 = jnp.floor(fy)
-        ax = (fx - x0)[:, None]
-        ay = (fy - y0)[:, None]
-        s = y0.astype(jnp.int32) * CACHE_WIN + x0.astype(jnp.int32)   # [N]
+        ax = fx - x0                                       # [N, 1]
+        ay = fy - y0
+        s = y0.astype(jnp.int32) * CACHE_WIN + x0.astype(jnp.int32)  # [N, 1]
         w = wins
         # pltpu.roll wants non-negative shifts: left-roll by k is a
         # right-roll by FLAT - k.
         for b in range(_SMAX_BITS):
-            bit = ((s >> b) & 1).astype(dt)[:, None]       # [N, 1]
+            bit = ((s >> b) & 1).astype(dt)                # [N, 1]
             w = bit * pltpu.roll(w, FLAT - (1 << b), 1) + (1.0 - bit) * w
         cur = (
             (1 - ax) * (1 - ay) * w
@@ -131,33 +144,61 @@ def _fused_kernel(n_iter: int, conv_eps: float,
             + (1 - ax) * ay * pltpu.roll(w, FLAT - CACHE_WIN, 1)
             + ax * ay * pltpu.roll(w, FLAT - (CACHE_WIN + 1), 1)
         )
-        return cur
+        return cur, clamped
 
-    # Statically unrolled GN iterations (n_iter is small and static;
-    # Mosaic fails to legalize scf.for with this carry structure).
-    # `frozen` carried as 0/1 float — vector<i1> carries don't lower.
-    x = meta[:, 2]
-    y = meta[:, 3]
-    mean = jnp.zeros((N,), dt)
-    frozen = jnp.zeros((N,), dt)
-    for _ in range(n_iter):
-        cur = sample(x, y)
-        r = (cur - refp + mean[:, None]) * valid           # [N, FLAT]
-        gx = jnp.sum(r * jx, axis=1)                       # [N]
-        gy = jnp.sum(r * jy, axis=1)
-        gm = jnp.sum(r, axis=1)
-        du = hinv[:, 0] * gx + hinv[:, 1] * gy + hinv[:, 2] * gm
-        dv = hinv[:, 3] * gx + hinv[:, 4] * gy + hinv[:, 5] * gm
-        dm = hinv[:, 6] * gx + hinv[:, 7] * gy + hinv[:, 8] * gm
-        small = (du * du + dv * dv < conv_eps * conv_eps).astype(dt)
-        act = (1.0 - small) * (1.0 - frozen)
+    def gn_step(x, y, mean, frozen):
+        cur, clamped = sample(x, y)
+        r = (cur - refp + mean) * valid                    # [N, FLAT]
+        gx = jnp.sum(r * jx, axis=1, keepdims=True)        # [N, 1]
+        gy = jnp.sum(r * jy, axis=1, keepdims=True)
+        gm = jnp.sum(r, axis=1, keepdims=True)
+        du = hinv[:, 0:1] * gx + hinv[:, 1:2] * gy + hinv[:, 2:3] * gm
+        dv = hinv[:, 3:4] * gx + hinv[:, 4:5] * gy + hinv[:, 5:6] * gm
+        dm = hinv[:, 6:7] * gx + hinv[:, 7:8] * gy + hinv[:, 8:9] * gm
+        small = jnp.where(
+            du * du + dv * dv < conv_eps * conv_eps, 1.0, 0.0
+        ).astype(dt)
+        # A point clamped at the cache boundary has drifted beyond the
+        # slack the caller accepts (it will be rejected by the drift
+        # gate) — freeze it so one runaway can't pin the whole batch
+        # at the iteration cap.
+        done = jnp.maximum(small, clamped if early_exit else small * 0.0)
+        act = (1.0 - done) * (1.0 - frozen)
         x = x - act * du
         y = y - act * dv
         mean = mean - act * dm
-        frozen = jnp.maximum(frozen, small)
-    cur = sample(x, y)
-    err = jnp.sum(jnp.abs((cur - refp + mean[:, None]) * valid), axis=1) / npix
-    out = jnp.stack([x, y, mean, err], axis=1)             # [N, 4]
+        frozen = jnp.maximum(frozen, done)
+        return x, y, mean, frozen
+
+    # GN iterations: a lax.while_loop with f32 carries when early_exit
+    # (all-points-frozen ends the loop; Mosaic legalizes f32 — not i1 —
+    # vector carries), else statically unrolled with freeze flags.
+    x = meta[:, 2:3]
+    y = meta[:, 3:4]
+    mean = jnp.zeros((N, 1), dt)
+    frozen = jnp.zeros((N, 1), dt)
+    if early_exit:
+        it0 = jnp.zeros((1, 1), dt)
+
+        def cond(carry):
+            it, allfro = carry[0], carry[1]
+            return (allfro[0, 0] < 0.5) & (it[0, 0] < float(n_iter))
+
+        def body(carry):
+            it, _, x, y, mean, frozen = carry
+            x, y, mean, frozen = gn_step(x, y, mean, frozen)
+            allfro = jnp.min(frozen, axis=0, keepdims=True)  # [1, 1]
+            return (it + 1.0, allfro, x, y, mean, frozen)
+
+        _, _, x, y, mean, frozen = jax.lax.while_loop(
+            cond, body, (it0, it0 * 0.0, x, y, mean, frozen))
+    else:
+        for _ in range(n_iter):
+            x, y, mean, frozen = gn_step(x, y, mean, frozen)
+    cur, _ = sample(x, y)
+    err = jnp.sum(jnp.abs((cur - refp + mean) * valid), axis=1,
+                  keepdims=True) / npix
+    out = jnp.concatenate([x, y, mean, err], axis=1)       # [N, 4]
     out_ref[...] = jnp.pad(out, ((0, 0), (0, 4)))
 
 
@@ -167,6 +208,7 @@ def align2d_fused(
     xy_init: jnp.ndarray,
     n_iter: int = 10,
     conv_eps: float = 0.03,
+    early_exit: bool | None = None,
 ):
     """Cached-window align2d with the GN loop fused into one kernel.
 
@@ -176,6 +218,8 @@ def align2d_fused(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if early_exit is None:
+        early_exit = EARLY_EXIT
     H, W = cur_img.shape
     N = xy_init.shape[0]
     half = (PATCH - 1) / 2.0
@@ -194,7 +238,7 @@ def align2d_fused(
     )
     meta = jnp.pad(meta, ((0, 0), (0, 4)))
     out = pl.pallas_call(
-        partial(_fused_kernel, n_iter, conv_eps),
+        partial(_fused_kernel, n_iter, conv_eps, early_exit),
         out_shape=jax.ShapeDtypeStruct((N, 8), cur_img.dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),

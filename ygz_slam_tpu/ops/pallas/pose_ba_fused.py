@@ -40,6 +40,10 @@ from ...solvers import robust
 MIN_DEPTH = 1e-2
 CHI2_2D = 5.991
 TUKEY_B = robust.TUKEY_B
+# Bench-level A/B toggle: each round's GN loop as an in-kernel
+# while_loop that stops at convergence/rollback instead of paying for
+# all iterations.
+EARLY_EXIT = True
 
 
 def _solve6(Hab, bv):
@@ -134,7 +138,7 @@ def _retract_left(R, t, dx):
     return Rn, tn
 
 
-def _kernel(rounds: int, iters_per_round: int, eps: float,
+def _kernel(rounds: int, iters_per_round: int, eps: float, early_exit: bool,
             meta_ref, glob_ref, out_ref):
     meta = meta_ref[...]                    # [8, Np]
     glob = glob_ref[...]                    # [1, 32]
@@ -221,11 +225,15 @@ def _kernel(rounds: int, iters_per_round: int, eps: float,
         # GN loop, semantics of nlls.gauss_newton: carried (H, b, chi2)
         # evaluated at the carried pose; one normal_eq per iteration at
         # the trial point; rollback + stop when chi2 increases; stop
-        # when max|dx| < eps.
+        # when max|dx| < eps.  With early_exit, the loop is a
+        # lax.while_loop over [1, 1] f32 carries (the only carry form
+        # Mosaic legalizes) so converged rounds stop paying for the
+        # remaining iterations; otherwise a fixed-trip unroll with the
+        # same freeze semantics.
         Hab, bv, chi2 = normal_eq(R, t, w_frozen)
-        one = chi2 * 0.0 + 1.0
-        stop = chi2 * 0.0
-        for _ in range(iters_per_round):
+
+        def gn_step(R, t, Hab, bv, chi2, stop):
+            one = chi2 * 0.0 + 1.0
             dx = _solve6(Hab, bv)
             amax = jnp.abs(dx[0])
             for i in range(1, 6):
@@ -241,6 +249,36 @@ def _kernel(rounds: int, iters_per_round: int, eps: float,
             bv = [upd * n_ + (one - upd) * o_ for n_, o_ in zip(bn, bv)]
             chi2 = upd * chi2n + (one - upd) * chi2
             stop = jnp.maximum(stop, jnp.maximum(worse, conv))
+            return R, t, Hab, bv, chi2, stop
+
+        if early_exit:
+            def cond(carry):
+                it, stop = carry[0], carry[1]
+                return (stop[0, 0] < 0.5) & (
+                    it[0, 0] < float(iters_per_round))
+
+            def body(carry):
+                it, stop = carry[0], carry[1]
+                R = list(carry[2:11])
+                t = list(carry[11:14])
+                Hab = list(carry[14:35])
+                bv = list(carry[35:41])
+                chi2 = carry[41]
+                R, t, Hab, bv, chi2, stop = gn_step(
+                    R, t, Hab, bv, chi2, stop)
+                return tuple([it + 1.0, stop] + R + t + Hab + bv + [chi2])
+
+            it0 = chi2 * 0.0
+            carry = tuple([it0, it0] + R + t + Hab + bv + [chi2])
+            carry = jax.lax.while_loop(cond, body, carry)
+            R = list(carry[2:11])
+            t = list(carry[11:14])
+            chi2 = carry[41]
+        else:
+            stop = chi2 * 0.0
+            for _ in range(iters_per_round):
+                R, t, Hab, bv, chi2, stop = gn_step(
+                    R, t, Hab, bv, chi2, stop)
         chi2_out = chi2
 
         # Reclassify at the round's final pose (doubles as the next
@@ -273,6 +311,7 @@ def pose_only_ba_fused(
     iters_per_round: int = 10,
     chi2_th: float = CHI2_2D,
     eps: float = 1e-4,
+    early_exit: bool | None = None,
 ):
     """Drop-in fused equivalent of solvers.ba.pose_only_ba (pinhole
     path).  Returns (SE3, inlier mask [N] bool, final chi2 scalar)."""
@@ -280,6 +319,9 @@ def pose_only_ba_fused(
     from jax.experimental.pallas import tpu as pltpu
 
     from ...geometry.se3 import SE3
+
+    if early_exit is None:
+        early_exit = EARLY_EXIT
 
     N = points.shape[0]
     dt = points.dtype
@@ -308,7 +350,7 @@ def pose_only_ba_fused(
     ]).reshape(1, 32)
 
     out = pl.pallas_call(
-        partial(_kernel, rounds, iters_per_round, eps),
+        partial(_kernel, rounds, iters_per_round, eps, early_exit),
         out_shape=jax.ShapeDtypeStruct((8, Np), dt),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),

@@ -41,6 +41,13 @@ PATCH_AREA = PATCH * PATCH
 # (_bench_ablate.py); the fused path needs on_tpu() and no robust
 # weights.
 USE_FUSED_LEVEL = True
+# Fused-kernel variant: 3 = ALL levels' GN in ONE kernel, windows
+# gathered at the frame-init pose (sparse_align_mega); 2 =
+# frozen-Hessian substitution-only per-level kernel with in-kernel
+# while_loop early exit (sparse_align_fused._kernel_v2); 1 =
+# fully-unrolled per-level kernel recomputing H every iteration
+# (_kernel).
+FUSED_VARIANT = 3
 
 
 class AlignStats(NamedTuple):
@@ -149,11 +156,19 @@ def _level_align(
         # gauss_newton's rollback semantics) — the per-iteration
         # kernel-launch chain of the while_loop path costs ~25 us/iter.
         from .pallas import sparse_align_fused as _sf
-        R_out, t_out, chi2, Hm = _sf.level_align_fused(
-            cur_img, level_ref.refp_lanes, level_ref.jlanes, p_ref, vis,
-            T_init.R, T_init.t, cam, level, distorted=True,
-            n_iter=min(n_iter, 12), eps=1e-4,
-        )
+        if FUSED_VARIANT == 2:
+            R_out, t_out, chi2, Hm = _sf.level_align_fused_v2(
+                cur_img, level_ref.refp_lanes, level_ref.jlanes,
+                level_ref.J, p_ref, vis,
+                T_init.R, T_init.t, cam, level, distorted=True,
+                n_iter=min(n_iter, 12), eps=1e-4,
+            )
+        else:
+            R_out, t_out, chi2, Hm = _sf.level_align_fused(
+                cur_img, level_ref.refp_lanes, level_ref.jlanes, p_ref, vis,
+                T_init.R, T_init.t, cam, level, distorted=True,
+                n_iter=min(n_iter, 12), eps=1e-4,
+            )
         return SE3(R_out, t_out), chi2, Hm, jnp.sum(vis)
 
     use_cache = use_tpu_windows and cache_windows
@@ -318,6 +333,27 @@ def sparse_image_align(
         )
     p_ref = ref_prep.p_ref
     visible0 = mask & (depth_ref > 1e-3)
+
+    # Whole-alignment mega kernel: every level's GN loop in ONE Pallas
+    # kernel, window gathers hoisted to the frame-init pose (they
+    # become independent DMAs instead of a level-serialized chain).
+    from .pallas import align2d_kernel as _ak
+
+    if (USE_FUSED_LEVEL and FUSED_VARIANT == 3 and not use_weights
+            and min_level == 0 and _ak.on_tpu()
+            and ref_prep.levels[max_level] is not None
+            and ref_prep.levels[max_level].refp_lanes is not None):
+        from .pallas.sparse_align_mega import sparse_align_mega
+
+        R_out, t_out, chi2, Hm = sparse_align_mega(
+            cur_pyr, ref_prep.levels, p_ref, T_init.R, T_init.t, cam,
+            distorted=True, max_level=max_level, min_level=0,
+            n_iter=min(n_iter, 12), eps=1e-4,
+        )
+        n_vis = jnp.sum(ref_prep.levels[0].vis)
+        return AlignStats(T_cur_ref=SE3(R_out, t_out), chi2=chi2,
+                          n_visible=n_vis, H=Hm)
+
     T = T_init
     chi2 = jnp.asarray(0.0, ref_pyr[0].dtype)
     H = jnp.zeros((6, 6), ref_pyr[0].dtype)
