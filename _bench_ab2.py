@@ -20,7 +20,8 @@ import jax.numpy as jnp
 import _bench_common as bc
 
 
-def build(pose_fused: bool, sparse_variant: int, a2d_ee: bool):
+def build(pose_fused: bool, sparse_variant: int, a2d_ee: bool,
+          full_fused: bool = False, sp_iter: int = 30):
     from ygz_slam_tpu.geometry import SE3
     from ygz_slam_tpu.ops import pyramid
     from ygz_slam_tpu.ops.align import align2d
@@ -42,19 +43,39 @@ def build(pose_fused: bool, sparse_variant: int, a2d_ee: bool):
                                  distorted=False)
     a2d_prep = align2d_prepare(patches)
 
-    def track_step(T_init7, img):
-        cur_pyr = pyramid.build_pyramid(img, 3)
-        stats = sparse_image_align(
-            ref_pyr, cur_pyr, cam, px, depth, mask,
-            SE3.from_params7(T_init7), distorted=False, ref_prep=ref_prep,
-        )
-        proj = cam.world_to_pixel(pts_w, stats.T_cur_ref, distorted=False)
-        ares = align2d(cur_pyr[0], patches, proj, prep=a2d_prep)
-        T, inlier, chi2 = pose_only_ba(
-            stats.T_cur_ref, pts_w, ares.xy, ares.converged & mask, cam,
-            use_fused=pose_fused,
-        )
-        return T.params7(), jnp.sum(inlier)
+    # World frame == ref-keyframe camera frame here (T_ref = identity),
+    # so the landmark array doubles as the ref-frame point set the
+    # fused whole-step kernel expects.
+    if full_fused:
+        from ygz_slam_tpu.ops.pallas.track_fused import track_step_fused
+
+        def track_step(T_init7, img):
+            cur_pyr = pyramid.build_pyramid(img, 3)
+            T = SE3.from_params7(T_init7)
+            R, t, chi2_sp, chi2_ba, n_inl, xy, err, conv, inlier = (
+                track_step_fused(
+                    cur_pyr, ref_prep.levels, ref_prep.p_ref, a2d_prep,
+                    pts_w, mask, T.R, T.t, cam, distorted=False,
+                    max_level=2,
+                )
+            )
+            return SE3(R, t).params7(), n_inl.astype(jnp.int32)
+    else:
+        def track_step(T_init7, img):
+            cur_pyr = pyramid.build_pyramid(img, 3)
+            stats = sparse_image_align(
+                ref_pyr, cur_pyr, cam, px, depth, mask,
+                SE3.from_params7(T_init7), distorted=False,
+                ref_prep=ref_prep, n_iter=sp_iter,
+            )
+            proj = cam.world_to_pixel(pts_w, stats.T_cur_ref,
+                                      distorted=False)
+            ares = align2d(cur_pyr[0], patches, proj, prep=a2d_prep)
+            T, inlier, chi2 = pose_only_ba(
+                stats.T_cur_ref, pts_w, ares.xy, ares.converged & mask,
+                cam, use_fused=pose_fused,
+            )
+            return T.params7(), jnp.sum(inlier)
 
     @jax.jit
     def track_chunk(T7, frames):
@@ -108,6 +129,17 @@ def main():
     if "E" in which:
         fps["E"] = time_variant("E_sparse_mega", pose_fused=True,
                                 sparse_variant=3, a2d_ee=False)
+    if "F" in which:
+        fps["F"] = time_variant("F_full_fused", pose_fused=True,
+                                sparse_variant=3, a2d_ee=False,
+                                full_fused=True)
+    if "Z" in which:
+        # Fixed-cost probe: sparse GN loop never runs (gathers +
+        # H assembly + launch + align2d + pose BA remain).  The gate
+        # fails by construction — timing only.
+        fps["Z"] = time_variant("Z_sp0_probe", pose_fused=True,
+                                sparse_variant=3, a2d_ee=False,
+                                sp_iter=0)
     keys = sorted(fps)
     print(json.dumps({
         "speedups_vs_first": {
