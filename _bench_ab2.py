@@ -133,6 +133,27 @@ def main():
         fps["F"] = time_variant("F_full_fused", pose_fused=True,
                                 sparse_variant=3, a2d_ee=False,
                                 full_fused=True)
+    if "G" in which:
+        # Sub-tile-shift strategy ladder, same script.
+        from ygz_slam_tpu.ops.pallas import align2d_kernel as _akm
+        _akm.SHIFT_MODE = "takes"
+        fps["E_takes"] = time_variant("E_xla_takes", pose_fused=True,
+                                      sparse_variant=3, a2d_ee=False)
+        _akm.SHIFT_MODE = "matmul"
+        fps["G_matmul"] = time_variant("G_shift_matmul", pose_fused=True,
+                                       sparse_variant=3, a2d_ee=False)
+    if "1" in which:
+        from ygz_slam_tpu.ops.pallas import align2d_kernel as _akm
+        _akm._TIMING_PROBE = "skip_takes"
+        fps["Y1"] = time_variant("Y1_skip_takes", pose_fused=True,
+                                 sparse_variant=3, a2d_ee=False)
+        _akm._TIMING_PROBE = ""
+    if "2" in which:
+        from ygz_slam_tpu.ops.pallas import align2d_kernel as _akm
+        _akm._TIMING_PROBE = "skip_gather"
+        fps["Y2"] = time_variant("Y2_skip_gather", pose_fused=True,
+                                 sparse_variant=3, a2d_ee=False)
+        _akm._TIMING_PROBE = ""
     if "Z" in which:
         # Fixed-cost probe: sparse GN loop never runs (gathers +
         # H assembly + launch + align2d + pose BA remain).  The gate

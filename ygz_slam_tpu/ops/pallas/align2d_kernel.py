@@ -41,6 +41,39 @@ def _gather_kernel(win_h: int, win_w: int, chunk: int,
         out_ref[j] = img_ref[pl.ds(y, win_h), pl.ds(x, win_w)]
 
 
+def _gather_kernel_shift(win_h: int, win_w: int, win: int, chunk: int,
+                         xi_ref, yi_ref, dx_ref, dy_ref, img_ref, out_ref):
+    """Aligned super-window fetch + in-kernel sub-tile shift.
+
+    The (dy, dx) remainders are scalar-prefetched; the shift is
+    bit-masked static rolls (scalar bit x vector blend — Mosaic rejects
+    unaligned dynamic slices and miscompiles dynamic roll shifts), so
+    the kernel emits exact [win, win] windows and the caller's XLA
+    take_along_axis pair (index gathers, slow on TPU) disappears."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    dt = out_ref.dtype
+    dy_bits = max((win_h - win - 1).bit_length(), 1)
+    dx_bits = max((win_w - win - 1).bit_length(), 1)
+    for j in range(chunk):
+        y = pl.multiple_of(yi_ref[i * chunk + j], 8)
+        x = pl.multiple_of(xi_ref[i * chunk + j], 128)
+        w = img_ref[pl.ds(y, win_h), pl.ds(x, win_w)]
+        dy = dy_ref[i * chunk + j]
+        dx = dx_ref[i * chunk + j]
+        for b in range(dy_bits):            # left-roll rows by dy
+            amt = 1 << b
+            bit = ((dy >> b) & 1).astype(dt)
+            w = bit * pltpu.roll(w, win_h - amt, 0) + (1.0 - bit) * w
+        for b in range(dx_bits):            # left-roll lanes by dx
+            amt = 1 << b
+            bit = ((dx >> b) & 1).astype(dt)
+            w = bit * pltpu.roll(w, win_w - amt, 1) + (1.0 - bit) * w
+        out_ref[j] = w[:win, :win]
+
+
 def gather_windows(img: jnp.ndarray, xi: jnp.ndarray, yi: jnp.ndarray,
                    win: int) -> jnp.ndarray:
     """[H, W] image + int origins [N] -> [N, win, win] windows.
@@ -55,6 +88,8 @@ def gather_windows(img: jnp.ndarray, xi: jnp.ndarray, yi: jnp.ndarray,
 
     N = xi.shape[0]
     H, W = img.shape
+    if _TIMING_PROBE == "skip_gather":    # timing-only: no gather at all
+        return jnp.zeros((N, win, win), img.dtype) + img[0, 0]
     # Mosaic dynamic-slice origins must be tile-aligned (sublane 8,
     # lane 128), so fetch aligned super-windows and apply the sub-tile
     # shift with cheap local takes over the small [N, win_h, win_w]
@@ -81,6 +116,24 @@ def gather_windows(img: jnp.ndarray, xi: jnp.ndarray, yi: jnp.ndarray,
     n_pad = -N % chunk
     x_in = jnp.pad(x_al, (0, n_pad))
     y_in = jnp.pad(y_al, (0, n_pad))
+    if SHIFT_MODE == "kernel" or SHIFT_IN_KERNEL:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=((N + n_pad) // chunk,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(
+                (chunk, win, win), lambda i, *_: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        )
+        out = pl.pallas_call(
+            partial(_gather_kernel_shift, win_h, win_w, win, chunk),
+            out_shape=jax.ShapeDtypeStruct(
+                (N + n_pad, win, win), img.dtype),
+            grid_spec=grid_spec,
+        )(x_in, y_in, jnp.pad(dx, (0, n_pad)), jnp.pad(dy, (0, n_pad)),
+          img)
+        return out[:N]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=((N + n_pad) // chunk,),
@@ -95,10 +148,41 @@ def gather_windows(img: jnp.ndarray, xi: jnp.ndarray, yi: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((N + n_pad, win_h, win_w), img.dtype),
         grid_spec=grid_spec,
     )(x_in, y_in, img)[:N]
+    if _TIMING_PROBE == "skip_takes":     # timing-only: wrong windows
+        return sup[:, :win, :win]
+    if SHIFT_MODE == "matmul":
+        # Sub-tile shift as batched one-hot contractions on the MXU:
+        # out[n,r,c] = sum_h P[n,r,h] sup[n,h,w] Q[n,w,c] with P/Q
+        # selection matrices from iota compares.  XLA index gathers
+        # (take_along_axis) cost ~59 us per window fetch at this shape
+        # on TPU; the two matmuls are a few MFLOP.
+        P = (dy[:, None, None] + jnp.arange(win)[None, :, None]
+             == jnp.arange(win_h)[None, None, :]).astype(img.dtype)
+        rowsel = jnp.einsum("nrh,nhw->nrw", P, sup)      # [N,win,win_w]
+        Q = (dx[:, None, None] + jnp.arange(win)[None, None, :]
+             == jnp.arange(win_w)[None, :, None]).astype(img.dtype)
+        return jnp.einsum("nrw,nwc->nrc", rowsel, Q)     # [N,win,win]
     rows = dy[:, None] + jnp.arange(win)[None, :]        # [N, win]
     cols = dx[:, None] + jnp.arange(win)[None, :]        # [N, win]
     sub = jnp.take_along_axis(sup, rows[:, :, None], axis=1)
     return jnp.take_along_axis(sub, cols[:, None, :], axis=2)
+
+
+# How the sub-tile (dy, dx) remainder shift is applied after the
+# aligned super-window fetch:
+#   "matmul" — batched one-hot MXU contractions (default),
+#   "takes"  — XLA take_along_axis index gathers (slow on TPU:
+#              measured 0.236 ms/frame across the 4 tracking fetches),
+#   "kernel" — per-point scalar-masked rolls inside the gather kernel
+#              (measured WORSE: 1451.7 -> 1049.8 fps; per-point rolls
+#              do 25x the vector work of batched ones).
+SHIFT_MODE = "matmul"
+SHIFT_IN_KERNEL = False  # back-compat alias for "kernel" mode
+
+# Timing-only probe hook for gather_windows ("", "skip_takes",
+# "skip_gather") — produces WRONG windows; bench accuracy gates fail
+# by construction.  Used to attribute fixed-cost time (_bench_ab2.py).
+_TIMING_PROBE = ""
 
 
 def _gather_kernel_multi(win_h: int, win_w: int, chunk: int,
@@ -154,6 +238,15 @@ def gather_windows_multi(imgs: jnp.ndarray, img_idx: jnp.ndarray,
         jnp.pad(y_al, (0, n_pad)),
         imgs,
     )[:N]
+    if SHIFT_MODE == "matmul":
+        # One-hot MXU contractions instead of XLA index gathers — same
+        # fix as gather_windows (measured 1397 -> 2147 fps there).
+        P = (dy[:, None, None] + jnp.arange(win)[None, :, None]
+             == jnp.arange(win_h)[None, None, :]).astype(imgs.dtype)
+        rowsel = jnp.einsum("nrh,nhw->nrw", P, sup)
+        Q = (dx[:, None, None] + jnp.arange(win)[None, None, :]
+             == jnp.arange(win_w)[None, :, None]).astype(imgs.dtype)
+        return jnp.einsum("nrw,nwc->nrc", rowsel, Q)
     rows = dy[:, None] + jnp.arange(win)[None, :]
     cols = dx[:, None] + jnp.arange(win)[None, :]
     sub = jnp.take_along_axis(sup, rows[:, :, None], axis=1)
