@@ -142,6 +142,16 @@ def main():
         _akm.SHIFT_MODE = "matmul"
         fps["G_matmul"] = time_variant("G_shift_matmul", pose_fused=True,
                                        sparse_variant=3, a2d_ee=False)
+    if "H" in which:
+        # Gather grid-step amortization: CHUNK 25 (8 steps/gather) vs
+        # 100 (2 steps/gather) — ~4 us/step Mosaic pipeline overhead.
+        from ygz_slam_tpu.ops.pallas import align2d_kernel as _akm
+        _akm.CHUNK = 25
+        fps["H25"] = time_variant("H_chunk25", pose_fused=True,
+                                  sparse_variant=3, a2d_ee=False)
+        _akm.CHUNK = 100
+        fps["H100"] = time_variant("H_chunk100", pose_fused=True,
+                                   sparse_variant=3, a2d_ee=False)
     if "1" in which:
         from ygz_slam_tpu.ops.pallas import align2d_kernel as _akm
         _akm._TIMING_PROBE = "skip_takes"
