@@ -21,7 +21,8 @@ import _bench_common as bc
 
 
 def build(pose_fused: bool, sparse_variant: int, a2d_ee: bool,
-          full_fused: bool = False, sp_iter: int = 30):
+          full_fused: bool = False, sp_iter: int = 30,
+          n_frames: int = 120):
     from ygz_slam_tpu.geometry import SE3
     from ygz_slam_tpu.ops import pyramid
     from ygz_slam_tpu.ops.align import align2d
@@ -37,7 +38,7 @@ def build(pose_fused: bool, sparse_variant: int, a2d_ee: bool,
     _af.EARLY_EXIT = a2d_ee
 
     cam, px, depth, mask, pts_w, patches, ref_pyr, frames, T_gt7 = (
-        bc.make_workload()
+        bc.make_workload(n_frames)
     )
     ref_prep = prepare_reference(ref_pyr, cam, px, depth, mask,
                                  distorted=False)
@@ -164,6 +165,18 @@ def main():
         fps["Y2"] = time_variant("Y2_skip_gather", pose_fused=True,
                                  sparse_variant=3, a2d_ee=False)
         _akm._TIMING_PROBE = ""
+    if "L" in which:
+        # Chunk-length ladder: fixed per-execution overhead shows as a
+        # throughput jump when the chunk doubles.
+        fps["L120"] = time_variant("L_chunk120", pose_fused=True,
+                                   sparse_variant=3, a2d_ee=False,
+                                   n_frames=120)
+        fps["L240"] = time_variant("L_chunk240", pose_fused=True,
+                                   sparse_variant=3, a2d_ee=False,
+                                   n_frames=240)
+        fps["L480"] = time_variant("L_chunk480", pose_fused=True,
+                                   sparse_variant=3, a2d_ee=False,
+                                   n_frames=480)
     if "Z" in which:
         # Fixed-cost probe: sparse GN loop never runs (gathers +
         # H assembly + launch + align2d + pose BA remain).  The gate

@@ -17,12 +17,17 @@ numbers stay comparable to the headline metric.
 import numpy as np
 import jax.numpy as jnp
 
-N_FRAMES = 120
+# Chunk depth: each jit EXECUTION over the axon tunnel costs ~26 ms
+# FIXED dispatch/round-trip overhead regardless of work (measured by
+# varying the chunk: 120/240/480 frames -> 54.2/82.1/139.7 ms, slope
+# 0.2375 ms/frame = the device time, intercept 25.7 ms).  480 frames
+# (16 s of 30 fps video, 590 MB of HBM) amortizes it to ~5%.
+N_FRAMES = 480
 H, W, N = 480, 640, 200
 NOISE = 0.005
 
 
-def make_workload():
+def make_workload(n_frames: int = N_FRAMES):
     """Returns (cam, px, depth, mask, pts_w, patches, ref_pyr,
     frames [F,H,W], T_gt7 [F,7]) — everything a track-chunk needs plus
     per-frame ground truth."""
@@ -63,7 +68,7 @@ def make_workload():
                         np.float32)
         return se3.exp(jnp.asarray(base + xi))
 
-    Ts = [pose(i) for i in range(N_FRAMES)]
+    Ts = [pose(i) for i in range(n_frames)]
     frames = []
     for i, T in enumerate(Ts):
         img = scene.render(T, (H, W))

@@ -51,6 +51,12 @@ _SMAX_BITS = 10                       # max roll 759 = 23*32 + 23 < 2^10
 # bench — the all-points barrier rarely fires before the 10-iteration
 # cap and the while carries cost more than they save (_bench_ab2.py).
 EARLY_EXIT = False
+# Window/patch math in bfloat16 (halves the per-iteration roll
+# traffic, the kernel's dominant cost); positions/solve stay f32.
+# Photometric values are O(1), so bf16's ~0.4% relative error costs
+# ~1-3% on the gradient sums — the per-point convergence/rejection
+# gates absorb it.  A/B toggle.
+BF16_WINDOWS = False
 
 
 class Align2DPrep(NamedTuple):
@@ -95,14 +101,15 @@ def _fused_kernel(n_iter: int, conv_eps: float, early_exit: bool,
                   out_ref):
     from jax.experimental.pallas import tpu as pltpu
 
-    wins = wins_ref[...]                   # [N, FLAT]
+    wins = wins_ref[...]                   # [N, FLAT] (f32 or bf16)
     refp = ref_ref[...]
     jx = jx_ref[...]
     jy = jy_ref[...]
-    hinv = hinv_ref[...]                   # [N, 16]
+    hinv = hinv_ref[...]                   # [N, 16]  (always f32)
     meta = meta_ref[...]                   # [N, 8]: ox, oy, x_init, y_init
     N = wins.shape[0]
-    dt = wins.dtype
+    wdt = wins.dtype                       # window/patch math dtype
+    dt = meta.dtype                        # position/solve dtype (f32)
     half = (PATCH - 1) / 2.0
     lim = float(CACHE_WIN - PATCH - 1)     # clamp bound inside the cache
 
@@ -112,7 +119,7 @@ def _fused_kernel(n_iter: int, conv_eps: float, early_exit: bool,
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, FLAT), 1)
     lr = lane // CACHE_WIN
     lc = lane % CACHE_WIN
-    valid = ((lr < PATCH) & (lc < PATCH)).astype(dt)       # [1, FLAT]
+    valid = ((lr < PATCH) & (lc < PATCH)).astype(wdt)      # [1, FLAT]
     npix = float(PATCH * PATCH)
 
     def sample(x, y):
@@ -129,14 +136,14 @@ def _fused_kernel(n_iter: int, conv_eps: float, early_exit: bool,
         fy = jnp.clip(fyu, 0.0, lim)
         x0 = jnp.floor(fx)
         y0 = jnp.floor(fy)
-        ax = fx - x0                                       # [N, 1]
-        ay = fy - y0
+        ax = (fx - x0).astype(wdt)                         # [N, 1]
+        ay = (fy - y0).astype(wdt)
         s = y0.astype(jnp.int32) * CACHE_WIN + x0.astype(jnp.int32)  # [N, 1]
         w = wins
         # pltpu.roll wants non-negative shifts: left-roll by k is a
         # right-roll by FLAT - k.
         for b in range(_SMAX_BITS):
-            bit = ((s >> b) & 1).astype(dt)                # [N, 1]
+            bit = ((s >> b) & 1).astype(wdt)               # [N, 1]
             w = bit * pltpu.roll(w, FLAT - (1 << b), 1) + (1.0 - bit) * w
         cur = (
             (1 - ax) * (1 - ay) * w
@@ -148,10 +155,10 @@ def _fused_kernel(n_iter: int, conv_eps: float, early_exit: bool,
 
     def gn_step(x, y, mean, frozen):
         cur, clamped = sample(x, y)
-        r = (cur - refp + mean) * valid                    # [N, FLAT]
-        gx = jnp.sum(r * jx, axis=1, keepdims=True)        # [N, 1]
-        gy = jnp.sum(r * jy, axis=1, keepdims=True)
-        gm = jnp.sum(r, axis=1, keepdims=True)
+        r = (cur - refp + mean.astype(wdt)) * valid        # [N, FLAT]
+        gx = jnp.sum(r * jx, axis=1, keepdims=True).astype(dt)  # [N, 1]
+        gy = jnp.sum(r * jy, axis=1, keepdims=True).astype(dt)
+        gm = jnp.sum(r, axis=1, keepdims=True).astype(dt)
         du = hinv[:, 0:1] * gx + hinv[:, 1:2] * gy + hinv[:, 2:3] * gm
         dv = hinv[:, 3:4] * gx + hinv[:, 4:5] * gy + hinv[:, 5:6] * gm
         dm = hinv[:, 6:7] * gx + hinv[:, 7:8] * gy + hinv[:, 8:9] * gm
@@ -196,8 +203,10 @@ def _fused_kernel(n_iter: int, conv_eps: float, early_exit: bool,
         for _ in range(n_iter):
             x, y, mean, frozen = gn_step(x, y, mean, frozen)
     cur, _ = sample(x, y)
-    err = jnp.sum(jnp.abs((cur - refp + mean) * valid), axis=1,
-                  keepdims=True) / npix
+    err = jnp.sum(
+        jnp.abs((cur - refp + mean.astype(wdt)) * valid), axis=1,
+        keepdims=True,
+    ).astype(dt) / npix
     out = jnp.concatenate([x, y, mean, err], axis=1)       # [N, 4]
     out_ref[...] = jnp.pad(out, ((0, 0), (0, 4)))
 
@@ -230,24 +239,27 @@ def align2d_fused(
         jnp.floor(xy_init[:, 1] - half) - CACHE_SLACK, 0, H - CACHE_WIN
     ).astype(jnp.int32)
     wins = gather_windows(cur_img, ox, oy, CACHE_WIN)      # [N, 32, 32]
+    pdt = jnp.float32
+    wdt = jnp.bfloat16 if BF16_WINDOWS else pdt
     meta = jnp.stack(
-        [ox.astype(cur_img.dtype), oy.astype(cur_img.dtype),
-         xy_init[:, 0].astype(cur_img.dtype),
-         xy_init[:, 1].astype(cur_img.dtype)],
+        [ox.astype(pdt), oy.astype(pdt),
+         xy_init[:, 0].astype(pdt), xy_init[:, 1].astype(pdt)],
         axis=1,
     )
     meta = jnp.pad(meta, ((0, 0), (0, 4)))
     out = pl.pallas_call(
         partial(_fused_kernel, n_iter, conv_eps, early_exit),
-        out_shape=jax.ShapeDtypeStruct((N, 8), cur_img.dtype),
+        out_shape=jax.ShapeDtypeStruct((N, 8), pdt),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
     )(
-        wins.reshape(N, FLAT),
-        prep.ref.astype(cur_img.dtype),
-        prep.jx.astype(cur_img.dtype),
-        prep.jy.astype(cur_img.dtype),
-        prep.hinv.astype(cur_img.dtype),
+        wins.reshape(N, FLAT).astype(wdt),
+        prep.ref.astype(wdt),
+        prep.jx.astype(wdt),
+        prep.jy.astype(wdt),
+        prep.hinv.astype(pdt),
         meta,
     )
-    return out[:, :2], out[:, 2], out[:, 3]
+    return (out[:, :2].astype(cur_img.dtype),
+            out[:, 2].astype(cur_img.dtype),
+            out[:, 3].astype(cur_img.dtype))

@@ -311,6 +311,8 @@ def sparse_align_mega(
     min_level: int = 0,
     n_iter: int = 12,
     eps: float = 1e-4,
+    mega_refp: jnp.ndarray | None = None,
+    mega_jl: jnp.ndarray | None = None,
 ):
     """All pyramid levels of sparse-direct alignment in one kernel.
 
@@ -347,12 +349,18 @@ def sparse_align_mega(
         oys.append(oy.astype(dt))
         lvis.append(level_refs[li].vis.astype(dt))
     wins_all = jnp.concatenate(wins, axis=1)
-    refp_all = jnp.concatenate(
-        [level_refs[li].refp_lanes.astype(dt) for li in range(n_levels)],
-        axis=1)
-    jl_all = jnp.concatenate(
-        [level_refs[li].jlanes.astype(dt) for li in range(n_levels)],
-        axis=1)
+    # Keyframe-constant lane packs: prefer the prepare_reference-hoisted
+    # arrays (no multi-MB concats in the per-frame path).
+    if mega_refp is not None:
+        refp_all = mega_refp.astype(dt)
+        jl_all = mega_jl.astype(dt)
+    else:
+        refp_all = jnp.concatenate(
+            [level_refs[li].refp_lanes.astype(dt) for li in range(n_levels)],
+            axis=1)
+        jl_all = jnp.concatenate(
+            [level_refs[li].jlanes.astype(dt) for li in range(n_levels)],
+            axis=1)
 
     meta_cols = [p_ref[:, 0], p_ref[:, 1], p_ref[:, 2],
                  jnp.ones(N, dt)]

@@ -269,6 +269,12 @@ class ReferencePrep(NamedTuple):
     p_ref: jnp.ndarray              # [N, 3] ref-camera points
     levels: tuple                   # LevelRef per level, coarse..fine order
                                     # indexed [level]
+    # Level-concatenated lane packs for the mega kernel (None off-TPU):
+    # keyframe constants, hoisted here so the per-frame path carries no
+    # multi-MB concats (XLA's invariant hoisting out of scan bodies is
+    # not guaranteed).
+    mega_refp: jnp.ndarray | None = None    # [N, L*FLAT]
+    mega_jl: jnp.ndarray | None = None      # [N, L*6*FLAT]
 
 
 def prepare_reference(
@@ -293,7 +299,16 @@ def prepare_reference(
         levels[level] = _prep_level(
             ref_pyr[level], cam, px_ref, p_ref, visible0, level
         )
-    return ReferencePrep(p_ref=p_ref, levels=tuple(levels))
+    mega_refp = mega_jl = None
+    if (min_level == 0 and levels[0] is not None
+            and levels[0].refp_lanes is not None):
+        n_lv = max_level - min_level + 1
+        mega_refp = jnp.concatenate(
+            [levels[li].refp_lanes for li in range(n_lv)], axis=1)
+        mega_jl = jnp.concatenate(
+            [levels[li].jlanes for li in range(n_lv)], axis=1)
+    return ReferencePrep(p_ref=p_ref, levels=tuple(levels),
+                         mega_refp=mega_refp, mega_jl=mega_jl)
 
 
 def sparse_image_align(
@@ -349,6 +364,7 @@ def sparse_image_align(
             cur_pyr, ref_prep.levels, p_ref, T_init.R, T_init.t, cam,
             distorted=True, max_level=max_level, min_level=0,
             n_iter=min(n_iter, 12), eps=1e-4,
+            mega_refp=ref_prep.mega_refp, mega_jl=ref_prep.mega_jl,
         )
         n_vis = jnp.sum(ref_prep.levels[0].vis)
         return AlignStats(T_cur_ref=SE3(R_out, t_out), chi2=chi2,
