@@ -165,6 +165,42 @@ def main():
         fps["Y2"] = time_variant("Y2_skip_gather", pose_fused=True,
                                  sparse_variant=3, a2d_ee=False)
         _akm._TIMING_PROBE = ""
+    if "V" in which:
+        # align2d cache window 32 vs 24 (1.78x less roll traffic,
+        # slack 11 -> 7 px; 576-lane rolls probe-verified legal).
+        from ygz_slam_tpu.ops.pallas import align2d_kernel as _akm
+        from ygz_slam_tpu.ops.pallas import align2d_fused as _afm
+
+        def _set_win(win):
+            _akm.CACHE_WIN = win
+            _akm.CACHE_SLACK = (win - _akm.PATCH - 1) // 2
+            _afm.CACHE_WIN = win
+            _afm.CACHE_SLACK = _akm.CACHE_SLACK
+            _afm.FLAT = win * win
+            smax = (win - _afm.PATCH - 1) * win + (win - _afm.PATCH - 1)
+            _afm._SMAX_BITS = max(smax.bit_length(), 1)
+
+        _set_win(32)
+        fps["V32"] = time_variant("V_win32", pose_fused=True,
+                                  sparse_variant=3, a2d_ee=False,
+                                  n_frames=480)
+        _set_win(24)
+        fps["V24"] = time_variant("V_win24", pose_fused=True,
+                                  sparse_variant=3, a2d_ee=False,
+                                  n_frames=480)
+        _set_win(32)
+    if "W" in which:
+        # align2d window math f32 vs bf16 (halved roll traffic).
+        from ygz_slam_tpu.ops.pallas import align2d_fused as _afm
+        _afm.BF16_WINDOWS = False
+        fps["W32"] = time_variant("W_a2d_f32", pose_fused=True,
+                                  sparse_variant=3, a2d_ee=False,
+                                  n_frames=480)
+        _afm.BF16_WINDOWS = True
+        fps["W16"] = time_variant("W_a2d_bf16", pose_fused=True,
+                                  sparse_variant=3, a2d_ee=False,
+                                  n_frames=480)
+        _afm.BF16_WINDOWS = False
     if "L" in which:
         # Chunk-length ladder: fixed per-execution overhead shows as a
         # throughput jump when the chunk doubles.

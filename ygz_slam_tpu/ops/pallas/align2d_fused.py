@@ -51,11 +51,12 @@ _SMAX_BITS = 10                       # max roll 759 = 23*32 + 23 < 2^10
 # bench — the all-points barrier rarely fires before the 10-iteration
 # cap and the while carries cost more than they save (_bench_ab2.py).
 EARLY_EXIT = False
-# Window/patch math in bfloat16 (halves the per-iteration roll
+# Window/patch math in bfloat16 (would halve the per-iteration roll
 # traffic, the kernel's dominant cost); positions/solve stay f32.
-# Photometric values are O(1), so bf16's ~0.4% relative error costs
-# ~1-3% on the gradient sums — the per-point convergence/rejection
-# gates absorb it.  A/B toggle.
+# BLOCKED ON-CHIP: Mosaic rejects rolls on non-32-bit data
+# ("tpu.dynamic_rotate ... not implemented: Rotate with non-32-bit
+# data").  Interpret-mode accuracy was fine (0.038 px max divergence);
+# keep OFF until Mosaic supports sub-32-bit rotate.
 BF16_WINDOWS = False
 
 

@@ -40,6 +40,13 @@ from .sparse_align_fused import (
     CWIN, FLAT, PATCH, SUP, _SMAX_BITS, SLACK, _HALF,
 )
 
+# Window/patch/Jacobian math in bfloat16 (would halve the
+# per-iteration roll and gradient-product traffic); pose state, normal
+# equations and the solve stay f32.  BLOCKED ON-CHIP: Mosaic rejects
+# rolls on non-32-bit data ("Rotate with non-32-bit data"); interpret
+# accuracy was fine.  Keep OFF until Mosaic supports it.
+BF16_WINDOWS = False
+
 
 def _mega_kernel(n_levels: int, n_iter: int, eps: float,
                  wins_ref, refp_ref, jlanes_ref, meta_ref, glob_ref,
@@ -51,7 +58,8 @@ def _mega_kernel(n_levels: int, n_iter: int, eps: float,
     jl_all = jlanes_ref[...]                # [N, n_levels*6*FLAT]
     meta = meta_ref[...]                    # [N, 16]
     glob = glob_ref[...]                    # [1, 32]
-    dt = wins_all.dtype
+    dt = glob.dtype                         # pose/solve dtype (f32)
+    wdt = wins_all.dtype                    # window/patch math dtype
 
     def g(k):
         return glob[:, k:k + 1]
@@ -68,7 +76,7 @@ def _mega_kernel(n_levels: int, n_iter: int, eps: float,
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, FLAT), 1)
     lr = lane // CWIN
     lc = lane % CWIN
-    valid = ((lr < PATCH) & (lc < PATCH)).astype(dt)
+    valid = ((lr < PATCH) & (lc < PATCH)).astype(wdt)
 
     def s2(x):
         return jnp.sum(jnp.sum(x, axis=0, keepdims=True), axis=1,
@@ -208,7 +216,7 @@ def _mega_kernel(n_levels: int, n_iter: int, eps: float,
                 (fxw >= 0.0) & (fxw <= CWIN - SUP)
                 & (fyw >= 0.0) & (fyw <= CWIN - SUP)
             )
-            return (okc & inwin).astype(dt)
+            return (okc & inwin).astype(wdt)
 
         def residual_pass(R, t):
             """(bv 6, chi2) at pose — sampling identical to
@@ -224,12 +232,12 @@ def _mega_kernel(n_levels: int, n_iter: int, eps: float,
             fyw = jnp.clip(fyw, 0.0, float(CWIN - SUP))
             x0 = jnp.floor(fxw)
             y0 = jnp.floor(fyw)
-            ax = fxw - x0
-            ay = fyw - y0
+            ax = (fxw - x0).astype(wdt)
+            ay = (fyw - y0).astype(wdt)
             s = y0.astype(jnp.int32) * CWIN + x0.astype(jnp.int32)
             w = wins
             for bb in range(_SMAX_BITS):
-                bit = ((s >> bb) & 1).astype(dt)
+                bit = ((s >> bb) & 1).astype(wdt)
                 w = bit * pltpu.roll(w, FLAT - (1 << bb), 1) + (1.0 - bit) * w
             cur = (
                 (1 - ax) * (1 - ay) * w
@@ -238,11 +246,11 @@ def _mega_kernel(n_levels: int, n_iter: int, eps: float,
                 + ax * ay * pltpu.roll(w, FLAT - (CWIN + 1), 1)
             )
             r = (cur - refp) * valid
-            wgt = (okc & inwin).astype(dt)
+            wgt = (okc & inwin).astype(wdt)
             rw = r * wgt
-            bv = [-s2(J[a] * rw) for a in range(6)]
-            denom = jnp.maximum(s2(wgt * valid), 1.0)
-            chi2 = s2(rw * r) / denom
+            bv = [-s2(J[a] * rw).astype(dt) for a in range(6)]
+            denom = jnp.maximum(s2(wgt * valid).astype(dt), 1.0)
+            chi2 = s2(rw * r).astype(dt) / denom
             return bv, chi2
 
         # Frozen Hessian at the level-init pose/visibility, factored
@@ -252,7 +260,7 @@ def _mega_kernel(n_levels: int, n_iter: int, eps: float,
         Hab = []
         for a in range(6):
             for b in range(a, 6):
-                Hab.append(s2(Jw[a] * J[b] * valid))
+                Hab.append(s2(Jw[a] * J[b] * valid).astype(dt))
         L = chol6(Hab)
 
         bv, chi2 = residual_pass(R, t)
@@ -348,18 +356,19 @@ def sparse_align_mega(
         oxs.append(ox.astype(dt))
         oys.append(oy.astype(dt))
         lvis.append(level_refs[li].vis.astype(dt))
-    wins_all = jnp.concatenate(wins, axis=1)
+    wdt = jnp.bfloat16 if BF16_WINDOWS else dt
+    wins_all = jnp.concatenate(wins, axis=1).astype(wdt)
     # Keyframe-constant lane packs: prefer the prepare_reference-hoisted
     # arrays (no multi-MB concats in the per-frame path).
     if mega_refp is not None:
-        refp_all = mega_refp.astype(dt)
-        jl_all = mega_jl.astype(dt)
+        refp_all = mega_refp.astype(wdt)
+        jl_all = mega_jl.astype(wdt)
     else:
         refp_all = jnp.concatenate(
-            [level_refs[li].refp_lanes.astype(dt) for li in range(n_levels)],
+            [level_refs[li].refp_lanes.astype(wdt) for li in range(n_levels)],
             axis=1)
         jl_all = jnp.concatenate(
-            [level_refs[li].jlanes.astype(dt) for li in range(n_levels)],
+            [level_refs[li].jlanes.astype(wdt) for li in range(n_levels)],
             axis=1)
 
     meta_cols = [p_ref[:, 0], p_ref[:, 1], p_ref[:, 2],
