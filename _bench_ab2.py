@@ -165,6 +165,17 @@ def main():
         fps["Y2"] = time_variant("Y2_skip_gather", pose_fused=True,
                                  sparse_variant=3, a2d_ee=False)
         _akm._TIMING_PROBE = ""
+    if "M" in which:
+        # Pose-BA round-0 MAD: hoisted XLA sorts vs in-kernel bisection.
+        from ygz_slam_tpu.ops.pallas import pose_ba_fused as _pbm
+        _pbm.MAD_IN_KERNEL = False
+        fps["Msort"] = time_variant("M_mad_hoisted", pose_fused=True,
+                                    sparse_variant=3, a2d_ee=False,
+                                    n_frames=480)
+        _pbm.MAD_IN_KERNEL = True
+        fps["Mbis"] = time_variant("M_mad_in_kernel", pose_fused=True,
+                                   sparse_variant=3, a2d_ee=False,
+                                   n_frames=480)
     if "V" in which:
         # align2d cache window 32 vs 24 (1.78x less roll traffic,
         # slack 11 -> 7 px; 576-lane rolls probe-verified legal).

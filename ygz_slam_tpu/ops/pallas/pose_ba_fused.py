@@ -44,6 +44,10 @@ TUKEY_B = robust.TUKEY_B
 # while_loop that stops at convergence/rollback instead of paying for
 # all iterations.
 EARLY_EXIT = True
+# Compute the round-0 MAD scale inside the kernel as 12-step bisection
+# medians on [1, Np] rows instead of hoisting two XLA sorts + glue
+# into the per-frame path.  A/B toggle.
+MAD_IN_KERNEL = True
 
 
 def _solve6(Hab, bv):
@@ -139,7 +143,7 @@ def _retract_left(R, t, dx):
 
 
 def _kernel(rounds: int, iters_per_round: int, eps: float, early_exit: bool,
-            meta_ref, glob_ref, out_ref):
+            mad_in_kernel: bool, meta_ref, glob_ref, out_ref):
     meta = meta_ref[...]                    # [8, Np]
     glob = glob_ref[...]                    # [1, 32]
     dt = meta.dtype
@@ -200,6 +204,19 @@ def _kernel(rounds: int, iters_per_round: int, eps: float, early_exit: bool,
     R = [g(i) for i in range(9)]
     t = [g(9 + i) for i in range(3)]
 
+    def med_bisect(vals, vmask, half_cnt):
+        """Masked median via bisection on [1, Np] rows (the round-0 MAD
+        scale cannot always be hoisted: sorts cost XLA ops per frame)."""
+        lo = half_cnt * 0.0
+        hi = jnp.max(vals * vmask, axis=1, keepdims=True)
+        for _ in range(12):
+            mid = 0.5 * (lo + hi)
+            cnt = s2(vmask * jnp.where(vals <= mid, 1.0, 0.0))
+            ge = jnp.where(cnt >= half_cnt, 1.0, 0.0)
+            hi = ge * mid + (1.0 - ge) * hi
+            lo = ge * lo + (1.0 - ge) * mid
+        return 0.5 * (lo + hi)
+
     ru, rv, _, _, valid = reproj(R, t)
     inlier = msk
     chi2_out = g(16) * 0.0
@@ -210,6 +227,11 @@ def _kernel(rounds: int, iters_per_round: int, eps: float, early_exit: bool,
         valid0 = valid * inlier
         rn = jnp.sqrt(ru * ru + rv * rv)
         if round_i == 0:
+            if mad_in_kernel:
+                half_cnt = 0.5 * s2(valid0)
+                med = med_bisect(rn, valid0, half_cnt)
+                mad = med_bisect(jnp.abs(rn - med), valid0, half_cnt)
+                sigma0 = jnp.maximum(1.4826 * mad, 1.0)
             xw = rn / (sigma0 * TUKEY_B)
             wt = (1.0 - xw * xw)
             w_frozen = jnp.where(jnp.abs(xw) < 1.0, wt * wt, 0.0 * wt)
@@ -327,13 +349,17 @@ def pose_only_ba_fused(
     dt = points.dtype
     Np = -(-N // 128) * 128
 
-    # Round-0 MAD scale, hoisted: residual norms at the INIT pose.
-    pc = T_cw.apply(points)
-    valid0 = mask & (pc[..., 2] > MIN_DEPTH)
-    pc_safe = pc.at[..., 2].set(jnp.maximum(pc[..., 2], MIN_DEPTH))
-    proj = cam.camera_to_pixel(pc_safe, distorted=False)
-    rn0 = jnp.linalg.norm(proj - px, axis=-1)
-    sigma0 = jnp.maximum(robust.mad_scale(rn0, valid0), 1.0)
+    if MAD_IN_KERNEL:
+        # Round-0 MAD scale via in-kernel bisection medians.
+        sigma0 = jnp.zeros((), dt)
+    else:
+        # Round-0 MAD scale, hoisted: residual norms at the INIT pose.
+        pc = T_cw.apply(points)
+        valid0 = mask & (pc[..., 2] > MIN_DEPTH)
+        pc_safe = pc.at[..., 2].set(jnp.maximum(pc[..., 2], MIN_DEPTH))
+        proj = cam.camera_to_pixel(pc_safe, distorted=False)
+        rn0 = jnp.linalg.norm(proj - px, axis=-1)
+        sigma0 = jnp.maximum(robust.mad_scale(rn0, valid0), 1.0)
 
     pad = Np - N
     meta = jnp.stack([
@@ -350,7 +376,8 @@ def pose_only_ba_fused(
     ]).reshape(1, 32)
 
     out = pl.pallas_call(
-        partial(_kernel, rounds, iters_per_round, eps, early_exit),
+        partial(_kernel, rounds, iters_per_round, eps, early_exit,
+                MAD_IN_KERNEL),
         out_shape=jax.ShapeDtypeStruct((8, Np), dt),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
