@@ -339,6 +339,29 @@ class TestSparseAlignFused:
         assert d2 < 1e-2, d2
         assert abs(d2 - d1) < 2e-3, (d2, d1)
 
+    def test_mega_two_level_pyramid(self):
+        """n_levels=2 exercises the meta/glob layout padding (origin
+        columns 4-7, per-level vis at 10-11, dims at glob 20-23)."""
+        from ygz_slam_tpu.ops.pallas import align2d_kernel as ak
+        from ygz_slam_tpu.ops import sparse_align as sa
+        from ygz_slam_tpu.geometry import SE3, se3
+
+        motion = [0.02, -0.015, 0.01, 0.002, -0.003, 0.001]
+        CAM, T_gt, c, depth, rp, cp = self._scene(motion)
+        orig_tpu, orig_var = ak.on_tpu, sa.FUSED_VARIANT
+        ak.on_tpu = lambda: True
+        sa.FUSED_VARIANT = 3
+        try:
+            st = sa.sparse_image_align(
+                rp[:2], cp[:2], CAM, c.xy, depth, c.mask, SE3.identity(),
+                distorted=False, max_level=1,
+            )
+        finally:
+            ak.on_tpu = orig_tpu
+            sa.FUSED_VARIANT = orig_var
+        d = float(se3.distance(st.T_cur_ref, T_gt))
+        assert d < 1e-2, d
+
     def test_mega_outside_envelope_degrades_gracefully(self):
         """Motion beyond the mega kernel's fine-level window slack
         (init-pose-centered windows): fine levels mask points out
