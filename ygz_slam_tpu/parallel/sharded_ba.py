@@ -122,6 +122,21 @@ def sharded_local_ba(
 
     Returns (poses, points, chi2) with the same sharding as inputs.
     """
+    # TPU MXU f32 contractions round through bf16 at default precision;
+    # the 6x6/3x3 Hessian blocks and the Schur reduction lose enough
+    # bits that BA converges visibly worse (bench_scaling's pose gate
+    # failed on the real chip at default precision and passes at
+    # highest).  Trace all BA einsums at full f32.
+    with jax.default_matmul_precision("highest"):
+        return _sharded_local_ba(
+            mesh, poses, points, obs, cam, fixed_pose, n_iter,
+            huber_delta,
+        )
+
+
+def _sharded_local_ba(
+    mesh, poses, points, obs, cam, fixed_pose, n_iter, huber_delta,
+):
     K = fixed_pose.shape[0]
     ax = LANDMARK_AXIS
 

@@ -199,7 +199,8 @@ def point_only_ba(
 
     Each landmark is an independent 3x3 GN problem; all L problems run
     batched.  Observation blocks are accumulated per landmark with
-    segment sums.
+    segment sums.  Traced at full f32 matmul precision (TPU MXU
+    defaults round through bf16; see local_ba).
     """
     L = points.shape[0]
 
@@ -215,7 +216,8 @@ def point_only_ba(
         dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
         return pts + dx, None
 
-    pts, _ = jax.lax.scan(step, points, None, length=n_iter)
+    with jax.default_matmul_precision("highest"):
+        pts, _ = jax.lax.scan(step, points, None, length=n_iter)
     return pts
 
 
@@ -320,6 +322,16 @@ def local_ba(
     fixed_pose: [K] bool — gauge-fixed cameras (the reference fixes the
     first/oldest keyframe, BA.cpp:341,417).
     """
+    # TPU MXU f32 contractions round through bf16 at default precision,
+    # which visibly degrades the Hessian blocks / Schur reduction (see
+    # parallel.sharded_ba).  Trace the BA math at full f32.
+    with jax.default_matmul_precision("highest"):
+        return _local_ba(poses, points, obs, cam, fixed_pose, n_iter,
+                         huber_delta, chi2_th)
+
+
+def _local_ba(poses, points, obs, cam, fixed_pose, n_iter,
+              huber_delta, chi2_th):
     K, L = fixed_pose.shape[0], points.shape[0]
 
     def body(carry, _):
