@@ -22,7 +22,8 @@ import _bench_common as bc
 
 def build(pose_fused: bool, sparse_variant: int, a2d_ee: bool,
           full_fused: bool = False, sp_iter: int = 30,
-          n_frames: int = 120):
+          n_frames: int = 120, a2d_origin_hoist: bool = False,
+          unified_gather: bool = False):
     from ygz_slam_tpu.geometry import SE3
     from ygz_slam_tpu.ops import pyramid
     from ygz_slam_tpu.ops.align import align2d
@@ -64,14 +65,27 @@ def build(pose_fused: bool, sparse_variant: int, a2d_ee: bool,
     else:
         def track_step(T_init7, img):
             cur_pyr = pyramid.build_pyramid(img, 3)
+            T0 = SE3.from_params7(T_init7)
+            org = (cam.world_to_pixel(pts_w, T0, distorted=False)
+                   if (a2d_origin_hoist or unified_gather) else None)
+            fw = None
+            if unified_gather:
+                fw = sa.gather_frame_windows(
+                    cur_pyr, cam, ref_prep, T0, distorted=False,
+                    max_level=2, a2d_centers=org,
+                )
             stats = sparse_image_align(
                 ref_pyr, cur_pyr, cam, px, depth, mask,
-                SE3.from_params7(T_init7), distorted=False,
-                ref_prep=ref_prep, n_iter=sp_iter,
+                T0, distorted=False,
+                ref_prep=ref_prep, n_iter=sp_iter, frame_windows=fw,
             )
             proj = cam.world_to_pixel(pts_w, stats.T_cur_ref,
                                       distorted=False)
-            ares = align2d(cur_pyr[0], patches, proj, prep=a2d_prep)
+            ares = align2d(
+                cur_pyr[0], patches, proj, prep=a2d_prep,
+                origin_xy=None if unified_gather else org,
+                pregathered=None if fw is None else fw.a2d,
+            )
             T, inlier, chi2 = pose_only_ba(
                 stats.T_cur_ref, pts_w, ares.xy, ares.converged & mask,
                 cam, use_fused=pose_fused,
@@ -224,6 +238,39 @@ def main():
         fps["L480"] = time_variant("L_chunk480", pose_fused=True,
                                    sparse_variant=3, a2d_ee=False,
                                    n_frames=480)
+    if "O" in which:
+        # align2d window gather at the frame-INIT pose projection:
+        # the fetch no longer waits on the sparse-align kernel.
+        fps["O0"] = time_variant("O_a2d_gather_post", pose_fused=True,
+                                 sparse_variant=3, a2d_ee=False,
+                                 n_frames=480)
+        fps["O1"] = time_variant("O_a2d_gather_init", pose_fused=True,
+                                 sparse_variant=3, a2d_ee=False,
+                                 n_frames=480, a2d_origin_hoist=True)
+    if "R" in which:
+        # align2d delta-roll sampling: 5 rolls/iter after the first
+        # full positioning (vs 10), <=1 px/iter step clamp.
+        from ygz_slam_tpu.ops.pallas import align2d_fused as _afm
+        _afm.DELTA_ROLLS = False
+        fps["R0"] = time_variant("R_full_rolls", pose_fused=True,
+                                 sparse_variant=3, a2d_ee=False,
+                                 n_frames=480)
+        _afm.DELTA_ROLLS = True
+        fps["R1"] = time_variant("R_delta_rolls", pose_fused=True,
+                                 sparse_variant=3, a2d_ee=False,
+                                 n_frames=480)
+        _afm.DELTA_ROLLS = False
+    if "U" in which:
+        # ALL 4 window gathers (3 sparse levels + align2d cache) in one
+        # pallas_call, everything fetched at the frame-init pose.
+        fps["U"] = time_variant("U_unified_gather", pose_fused=True,
+                                sparse_variant=3, a2d_ee=False,
+                                n_frames=480, unified_gather=True)
+    if "X" in which:
+        # Chunk 960: further amortization of the ~26 ms fixed dispatch.
+        fps["X960"] = time_variant("X_chunk960", pose_fused=True,
+                                   sparse_variant=3, a2d_ee=False,
+                                   n_frames=960, a2d_origin_hoist=True)
     if "Z" in which:
         # Fixed-cost probe: sparse GN loop never runs (gathers +
         # H assembly + launch + align2d + pose BA remain).  The gate

@@ -20,9 +20,10 @@ import jax.numpy as jnp
 # Chunk depth: each jit EXECUTION over the axon tunnel costs ~26 ms
 # FIXED dispatch/round-trip overhead regardless of work (measured by
 # varying the chunk: 120/240/480 frames -> 54.2/82.1/139.7 ms, slope
-# 0.2375 ms/frame = the device time, intercept 25.7 ms).  480 frames
-# (16 s of 30 fps video, 590 MB of HBM) amortizes it to ~5%.
-N_FRAMES = 480
+# 0.2375 ms/frame = the device time, intercept 25.7 ms).  960 frames
+# (32 s of 30 fps video, 1.2 GB of HBM) amortizes it to ~2.5%
+# (measured +8.7% over 480: _bench_ab2 X960).
+N_FRAMES = 960
 H, W, N = 480, 640, 200
 NOISE = 0.005
 
@@ -84,14 +85,16 @@ def make_workload(n_frames: int = N_FRAMES):
 
 def gate(T7_all, inliers, T_gt7):
     """Per-frame accuracy gate: every tracked pose lands on its ground
-    truth with a healthy inlier count.  Returns (max_err, min_inl, ok)."""
+    truth with a healthy inlier count.  Returns (max_err, min_inl, ok).
+
+    Batched (one dispatch): a Python per-frame loop costs 2 tunnel
+    round-trips per frame — minutes at 480+ frame chunks."""
+    import jax
     from ygz_slam_tpu.geometry import SE3, se3
 
-    errs = [
-        float(se3.distance(SE3.from_params7(T7_all[i]),
-                           SE3.from_params7(T_gt7[i])))
-        for i in range(T7_all.shape[0])
-    ]
-    max_err = max(errs)
+    d = jax.jit(jax.vmap(
+        lambda a, b: se3.distance(SE3.from_params7(a), SE3.from_params7(b))
+    ))(T7_all, T_gt7)
+    max_err = float(jnp.max(d))
     min_inl = int(jnp.min(inliers))
     return max_err, min_inl, (max_err < 2e-2 and min_inl > int(0.75 * N))

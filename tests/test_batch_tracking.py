@@ -148,3 +148,49 @@ class TestBatchedTrackStep:
                                atol=1e-5)
             assert np.array_equal(np.asarray(conv[s]),
                                   np.asarray(r.converged))
+
+
+class TestFusedBatchPath:
+    """The TPU batch path (USE_FUSED_BATCH: per-sequence mega kernels +
+    one flattened fused align2d) in interpret mode."""
+
+    @pytest.fixture(autouse=True)
+    def interpret_mode(self, monkeypatch):
+        import functools
+        from jax.experimental import pallas as pl
+        from ygz_slam_tpu.ops.pallas import align2d_kernel as ak
+
+        monkeypatch.setattr(
+            pl, "pallas_call",
+            functools.partial(pl.pallas_call, interpret=True))
+        monkeypatch.setattr(ak, "on_tpu", lambda: True)
+
+    def test_fused_step_matches_fallback(self):
+        from ygz_slam_tpu.parallel import batch_tracking as bt
+        from ygz_slam_tpu.ops.sparse_align import prepare_reference
+        from ygz_slam_tpu.ops.pallas.align2d_fused import align2d_prepare
+
+        helper = TestBatchedTrackStep()
+        rp, cp, px, d, pw, pat, T_gt, S, N = helper._problem(S=2, N=50)
+        mask = jnp.ones((S, N), bool)
+        T0 = SE3.from_params7(
+            jnp.tile(SE3.identity().params7()[None], (S, 1)))
+        ref_preps = [
+            prepare_reference(tuple(r[s] for r in rp), CAM, px[s], d[s],
+                              mask[s], distorted=False)
+            for s in range(S)
+        ]
+        a2d_prep = align2d_prepare(pat.reshape(S * N, 10, 10))
+
+        bt.USE_FUSED_BATCH = True
+        try:
+            T_f, inl_f = bt.batched_track_step(
+                rp, cp, CAM, px, d, mask, pw, pat, T0,
+                ref_preps=ref_preps, a2d_prep=a2d_prep)
+        finally:
+            bt.USE_FUSED_BATCH = True
+        for s in range(S):
+            err = float(se3.distance(
+                jax.tree.map(lambda a: a[s], T_f), T_gt))
+            assert err < 5e-3, (s, err)
+            assert int(inl_f[s]) > 0.8 * N, (s, int(inl_f[s]))

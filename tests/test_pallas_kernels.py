@@ -152,6 +152,37 @@ class TestFusedAligner:
         assert bool(jnp.isfinite(xy).all())
         assert bool(jnp.isfinite(err).all())
 
+    def test_delta_rolls_matches_full_rolls(self, monkeypatch):
+        """DELTA_ROLLS (5 re-alignment rolls/iter + <=1 px step clamp)
+        must land on the same optima as the full 10-roll chain."""
+        from ygz_slam_tpu.utils.synthetic import PlaneScene
+        from ygz_slam_tpu.geometry import PinholeCamera, SE3
+        from ygz_slam_tpu.ops.pallas import align2d_fused as af
+
+        CAM = PinholeCamera.create(320.0, 320.0, 160.0, 120.0)
+        scene = PlaneScene(CAM, plane_z=3.0, seed=7)
+        img = scene.render(SE3.identity(), (240, 320))
+        rng = np.random.default_rng(7)
+        xy_gt = jnp.asarray(
+            np.c_[rng.uniform(20, 300, 48), rng.uniform(20, 220, 48)],
+            jnp.float32,
+        )
+        patches = sample_patches(img, xy_gt, 10)
+        init = xy_gt + jnp.asarray(
+            rng.uniform(-2.5, 2.5, (48, 2)), jnp.float32
+        )
+        prep = af.align2d_prepare(patches)
+        monkeypatch.setattr(af, "DELTA_ROLLS", False)
+        xy_a, _, _ = af.align2d_fused(img, prep, init)
+        monkeypatch.setattr(af, "DELTA_ROLLS", True)
+        xy_b, _, e_b = af.align2d_fused(img, prep, init)
+        d_ab = np.linalg.norm(np.asarray(xy_b - xy_a), axis=1)
+        assert np.median(d_ab) < 0.05, np.median(d_ab)
+        assert d_ab.max() < 0.5, d_ab.max()
+        assert np.all(np.isfinite(np.asarray(e_b)))
+        d = np.linalg.norm(np.asarray(xy_b - xy_gt), axis=1)
+        assert np.median(d) < 0.05, np.median(d)
+
 
 class TestCachedWindowAligners:
     """The cached-window scheme: one [32,32] fetch per point, all GN
@@ -387,3 +418,100 @@ class TestSparseAlignFused:
             for cc in range(4):
                 assert packed[1, 16 * r + cc] == v[1, r, cc]
         assert packed[0, 4] == 0.0 and packed[0, 16 * 4] == 0.0
+
+
+class TestGroupedGather:
+    """gather_windows_grouped: all of a frame's window fetches in one
+    pallas_call (3 sparse-align levels + the align2d cache)."""
+
+    def test_matches_individual_gathers(self):
+        from ygz_slam_tpu.ops.pallas import align2d_kernel as ak
+
+        rng = np.random.default_rng(3)
+        img0 = jnp.asarray(rng.uniform(0, 255, (480, 640)), jnp.float32)
+        img1 = jnp.asarray(rng.uniform(0, 255, (240, 320)), jnp.float32)
+        img2 = jnp.asarray(rng.uniform(0, 255, (120, 160)), jnp.float32)
+        groups = []
+        # Different image shapes, window sizes AND point counts (the
+        # shorter group exercises grid padding); img0 appears twice
+        # (dedup by identity).
+        for img, win, n in [(img0, 16, 200), (img1, 16, 200),
+                            (img2, 16, 200), (img0, 32, 137)]:
+            H, W = img.shape
+            xi = jnp.asarray(rng.integers(0, W - win, n), jnp.int32)
+            yi = jnp.asarray(rng.integers(0, H - win, n), jnp.int32)
+            groups.append((img, xi, yi, win))
+        outs = ak.gather_windows_grouped(groups)
+        for (img, xi, yi, win), out in zip(groups, outs):
+            ref = ak.gather_windows(img, xi, yi, win)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=0, atol=0)
+
+    def test_unified_track_step_matches_separate(self):
+        """gather_frame_windows + frame_windows/pregathered plumbing
+        reproduces the separate-gather track step: identical sparse
+        pose (same windows by construction) and align2d positions that
+        agree wherever both paths accept the point."""
+        from ygz_slam_tpu.ops import pyramid, fast
+        from ygz_slam_tpu.ops import sparse_align as sa
+        from ygz_slam_tpu.ops.align import align2d
+        from ygz_slam_tpu.ops.interp import sample_patches
+        from ygz_slam_tpu.ops.pallas import align2d_kernel as ak
+        from ygz_slam_tpu.ops.pallas.align2d_fused import align2d_prepare
+        from ygz_slam_tpu.utils.synthetic import PlaneScene
+        from ygz_slam_tpu.geometry import PinholeCamera, SE3, se3
+
+        CAM = PinholeCamera.create(320.0, 320.0, 160.0, 120.0)
+        scene = PlaneScene(CAM, plane_z=3.0, seed=5)
+        T_gt = se3.exp(jnp.asarray(
+            [0.02, -0.015, 0.01, 0.002, -0.003, 0.001], jnp.float32))
+        img_r = scene.render(SE3.identity(), (240, 320))
+        img_c = scene.render(T_gt, (240, 320))
+        c = fast.detect(img_r, 20.0, cell=16, max_corners=80)
+        depth = scene.depth(c.xy, SE3.identity())
+        rp = pyramid.build_pyramid(img_r, 3)
+        cp = pyramid.build_pyramid(img_c, 3)
+        pts_w = CAM.pixel_to_world(c.xy, SE3.identity(), depth=depth,
+                                   distorted=False)
+        patches = sample_patches(img_r, c.xy, 10)
+        prep = align2d_prepare(patches)
+        ref_prep = sa.prepare_reference(rp, CAM, c.xy, depth, c.mask,
+                                        distorted=False)
+
+        orig_tpu, orig_var = ak.on_tpu, sa.FUSED_VARIANT
+        ak.on_tpu = lambda: True
+        sa.FUSED_VARIANT = 3
+        try:
+            def step(unified):
+                T0 = SE3.identity()
+                org = CAM.world_to_pixel(pts_w, T0, distorted=False)
+                fw = None
+                if unified:
+                    fw = sa.gather_frame_windows(
+                        cp, CAM, ref_prep, T0, distorted=False,
+                        max_level=2, a2d_centers=org)
+                st = sa.sparse_image_align(
+                    rp, cp, CAM, c.xy, depth, c.mask, T0,
+                    distorted=False, ref_prep=ref_prep,
+                    frame_windows=fw)
+                proj = CAM.world_to_pixel(pts_w, st.T_cur_ref,
+                                          distorted=False)
+                ares = align2d(cp[0], patches, proj, prep=prep,
+                               pregathered=None if fw is None else fw.a2d)
+                return st, ares
+
+            st_u, ar_u = step(True)
+            st_s, ar_s = step(False)
+        finally:
+            ak.on_tpu = orig_tpu
+            sa.FUSED_VARIANT = orig_var
+
+        # Sparse windows are identical by construction -> same pose.
+        assert float(se3.distance(st_u.T_cur_ref, st_s.T_cur_ref)) < 1e-6
+        assert float(se3.distance(st_u.T_cur_ref, T_gt)) < 1e-2
+        both = np.asarray(ar_u.converged & ar_s.converged)
+        assert both.sum() >= 0.8 * int(np.asarray(c.mask).sum())
+        du = np.asarray(jnp.linalg.norm(ar_u.xy - ar_s.xy, axis=-1))
+        # align2d sampling values are origin-independent on the shared
+        # lattice; accepted points must agree to float tolerance.
+        assert du[both].max() < 1e-3, du[both].max()

@@ -149,3 +149,44 @@ class TestSystemFacade:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+class TestEurocDataset:
+    def test_asl_tree_roundtrip(self, tmp_path):
+        """EuRoC ASL loader (BASELINE config 4 ingestion): data.csv +
+        PNGs + ground-truth csv -> FrameData stream + (stamps, T_cw)."""
+        import os
+        import numpy as np
+        from PIL import Image
+        from ygz_slam_tpu.utils.datasets import EurocDataset
+
+        root = tmp_path / "mav0"
+        (root / "cam0" / "data").mkdir(parents=True)
+        (root / "state_groundtruth_estimate0").mkdir(parents=True)
+        with open(root / "cam0" / "data.csv", "w") as f:
+            f.write("#timestamp [ns],filename\n")
+            for i in range(3):
+                ts = 1403636579763555584 + i * 50_000_000
+                img = (np.random.default_rng(i).random((48, 64))
+                       * 255).astype(np.uint8)
+                Image.fromarray(img).save(
+                    root / "cam0" / "data" / f"{ts}.png")
+                f.write(f"{ts},{ts}.png\n")
+        with open(root / "state_groundtruth_estimate0" / "data.csv",
+                  "w") as f:
+            f.write("#ts,px,py,pz,qw,qx,qy,qz\n")
+            for i in range(3):
+                f.write(f"{1403636579763555584 + i * 50_000_000},"
+                        f"{0.1 * i},0,1,1,0,0,0\n")
+        ds = EurocDataset(str(tmp_path))
+        frames = list(ds)
+        assert len(ds) == len(frames) == 3
+        assert frames[0].gray.shape == (48, 64)
+        assert frames[0].gray.dtype == np.float32
+        assert abs(frames[1].timestamp - frames[0].timestamp
+                   - 0.05) < 1e-6
+        stamps, poses = ds.groundtruth
+        assert len(stamps) == 3
+        # T_cw = T_wb^-1: t_cw = -R^T t_wb = (-0.1, 0, -1) at i=1.
+        np.testing.assert_allclose(
+            np.asarray(poses[1].t), [-0.1, 0.0, -1.0], atol=1e-6)

@@ -140,6 +140,7 @@ class VOOptions:
     sd_budget: int = 512              # semi-dense gradient pixels/KF
     sd_cell: int = 8
     sd_min_grad: float = 8.0
+    chunk_frames: int = 32            # add_frames on-device scan depth
 
 
 @dataclasses.dataclass
@@ -147,6 +148,21 @@ class TrackResult:
     status: Status
     T_cw: SE3 | None
     n_inliers: int = 0
+
+
+def _se3_from_params7_np(p) -> SE3:
+    """Pure-numpy params7 -> SE3 (wxyz quaternion + t): chunked
+    tracking builds per-frame TrackResults WITHOUT per-frame device
+    dispatches (each dispatch costs ~ms over a serving tunnel — the
+    very cost add_frames amortizes)."""
+    p = np.asarray(p, np.float64)
+    w, x, y, z = p[:4] / np.linalg.norm(p[:4])
+    R = np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ], np.float32)
+    return SE3(R=R, t=np.asarray(p[4:7], np.float32))
 
 
 class VisualOdometry:
@@ -238,7 +254,6 @@ class VisualOdometry:
         def _two_view_ba(T1, T2, pts, px1, px2, mask):
             return bam.two_view_ba(T1, T2, pts, px1, px2, mask, cam)
 
-        @partial(jax.jit, donate_argnums=())
         def _track(prev_pyr, cur_pyr, prev_T_cw7, T_pred7, mstate,
                    kf_images, prev_found, prev_obs_px):
             prev_T_cw = SE3.from_params7(prev_T_cw7)
@@ -272,6 +287,71 @@ class VisualOdometry:
                 pt_found=mstate.pt_found + tm.found.astype(jnp.int32),
             )
             return tm, mstate, tr.ok
+
+        def _track_chunk(imgs, prev_pyr, prev_T7, vel7, mstate,
+                         kf_images, prev_found, prev_obs_px, fsk,
+                         T_kf7, seeds, seed_img, T_seed7):
+            """Scan a whole chunk of ordinary frames ON DEVICE: one
+            dispatch advances `imgs.shape[0]` frames (the per-frame
+            host API pays the fixed dispatch cost per frame — measured
+            ~26 ms over the serving tunnel — per CHUNK here).  The
+            keyframe-need and lost gates are evaluated in-scan; the
+            host truncates at the first flagged frame and replays it
+            through the per-frame path, so chunked semantics are
+            identical to repeated add_frame."""
+
+            def body(carry, img):
+                (pyr_p, T7_p, vel7, mstate, found_p, obs_p, fsk,
+                 seeds) = carry
+                pyr = fe.preprocess(img, o.n_levels)
+                T_pred = SE3.from_params7(vel7) @ SE3.from_params7(T7_p)
+                tm, mstate, _ok = _track(
+                    pyr_p, pyr, T7_p, T_pred.params7(), mstate,
+                    kf_images, found_p, obs_p,
+                )
+                T_cw = tm.T_cw
+                T7 = T_cw.params7()
+                vel7n = T_cw.compose(
+                    SE3.from_params7(T7_p).inverse()).params7()
+                lost = tm.n_inliers < o.min_track_inliers
+                fsk = fsk + 1
+                delta = se3m.log(
+                    T_cw.compose(SE3.from_params7(T_kf7).inverse()))
+                kf_needed = (fsk >= o.kf_min_frames) & (
+                    (jnp.linalg.norm(delta[3:]) > o.kf_max_rot)
+                    | (jnp.linalg.norm(delta[:3]) > o.kf_max_trans)
+                )
+                if seeds is not None:
+                    T_cur_ref = T_cw.compose(
+                        SE3.from_params7(T_seed7).inverse())
+                    seeds = dfilt.update_seeds_from_frame(
+                        seeds, seed_img, pyr[0], cam, T_cur_ref,
+                    )
+                carry = (pyr, T7, vel7n, mstate, tm.found, tm.obs_px,
+                         fsk, seeds)
+                ys = (T7, vel7n, tm.n_inliers, kf_needed, lost,
+                      tm.found, tm.candidate, tm.obs_px, seeds)
+                return carry, ys
+
+            carry0 = (prev_pyr, prev_T7, vel7, mstate, prev_found,
+                      prev_obs_px, fsk, seeds)
+            return jax.lax.scan(body, carry0, imgs)
+
+        @jax.jit
+        def _accept_counters(mstate, cand, found, j):
+            """Map-point visible/found counters for the accepted
+            chunk prefix [0, j) (truncated chunks only; full chunks
+            take the scan's final carry)."""
+            w = jnp.arange(cand.shape[0])[:, None] < j
+            return mstate._replace(
+                pt_visible=mstate.pt_visible
+                + jnp.sum(cand & w, axis=0).astype(jnp.int32),
+                pt_found=mstate.pt_found
+                + jnp.sum(found & w, axis=0).astype(jnp.int32),
+            )
+
+        self._jit_track_chunk = jax.jit(_track_chunk)
+        self._jit_accept_counters = _accept_counters
 
         if o.vo_type is VOType.SPARSE_ORB:
             from . import orb_tracking as orbtrack
@@ -472,7 +552,7 @@ class VisualOdometry:
         self._jit_klt = _klt
         self._jit_init = _init
         self._jit_two_view_ba = _two_view_ba
-        self._jit_track = _track
+        self._jit_track = jax.jit(_track)
         self._jit_triangulate = _triangulate
         self._jit_mapping = _mapping
         self._jit_fuse_neighbors = _fuse_neighbors
@@ -535,6 +615,89 @@ class VisualOdometry:
                 (timestamp, np.asarray(res.T_cw.params7()))
             )
         return res
+
+    def add_frames(self, imgs, timestamps=None,
+                   chunk: int | None = None) -> list:
+        """Chunked tracking: spans of ordinary frames run as ONE
+        on-device lax.scan dispatch (the per-frame API pays a fixed
+        ~26 ms dispatch cost per frame over a serving tunnel; this
+        pays it per chunk — the bench-measured throughput carried into
+        the product surface).
+
+        Semantics match repeated add_frame exactly: the in-scan gates
+        flag the first frame that goes lost or needs a keyframe, the
+        chunk is truncated BEFORE it, and that frame replays through
+        the per-frame path (initialization, keyframe insertion,
+        relocalization and non-default VO modes always take the
+        per-frame path).  Returns a TrackResult per frame."""
+        n = len(imgs)
+        ts = (list(timestamps) if timestamps is not None
+              else [0.0] * n)
+        chunk = chunk or self.o.chunk_frames
+        eligible = (self.o.vo_type is VOType.SPARSE_DIRECT
+                    and self.o.map_type is MapType.SPARSE)
+        results: list[TrackResult] = []
+        i = 0
+        while i < n:
+            # Per-frame path whenever chunking can't apply (also keeps
+            # compilation to ONE chunk length: short tails go
+            # per-frame rather than compiling per remainder length).
+            if (not eligible or self.status is not Status.GOOD
+                    or n - i < chunk):
+                results.append(self.add_frame(imgs[i], ts[i]))
+                i += 1
+                continue
+            sl = jnp.asarray(imgs[i:i + chunk], jnp.float32)
+            st = self.server.state
+            with_seeds = (self.seeds is not None
+                          and self.o.use_depth_filter)
+            carry, ys = self._jit_track_chunk(
+                sl, self.prev_pyr, self.prev_T_cw.params7(),
+                self.velocity.params7(), st, self.kf_images,
+                self.prev_found, self.prev_obs_px,
+                jnp.asarray(self.frames_since_kf, jnp.int32),
+                st.kf_pose7[self.last_kf_slot],
+                self.seeds if with_seeds else None,
+                self.kf_images[self.seed_kf_slot] if with_seeds else None,
+                st.kf_pose7[self.seed_kf_slot] if with_seeds else None,
+            )
+            (T7y, vel7y, inly, kfy, losty, foundy, candy, obsy,
+             seedsy) = ys
+            flags = np.asarray(kfy | losty)
+            j = int(np.argmax(flags)) if flags.any() else chunk
+            if j == 0:
+                results.append(self.add_frame(imgs[i], ts[i]))
+                i += 1
+                continue
+            if j == chunk:
+                (self.prev_pyr, prev_T7, vel7, mstate, self.prev_found,
+                 self.prev_obs_px, _fsk, seeds_f) = carry
+            else:
+                mstate = self._jit_accept_counters(st, candy, foundy, j)
+                self.prev_found = foundy[j - 1]
+                self.prev_obs_px = obsy[j - 1]
+                self.prev_pyr = fe.preprocess(sl[j - 1], self.o.n_levels)
+                prev_T7 = T7y[j - 1]
+                vel7 = vel7y[j - 1]
+                seeds_f = (jax.tree.map(lambda a: a[j - 1], seedsy)
+                           if with_seeds else None)
+            self.server.state = mstate
+            self.prev_T_cw = SE3.from_params7(prev_T7)
+            self.T_cw = self.prev_T_cw
+            self.velocity = SE3.from_params7(vel7)
+            self.frames_since_kf += j
+            self.frame_id += j
+            if with_seeds:
+                self.seeds = seeds_f
+            T7_np = np.asarray(T7y[:j])
+            inl_np = np.asarray(inly[:j])
+            for k in range(j):
+                self.trajectory.append((ts[i + k], T7_np[k].copy()))
+                results.append(TrackResult(
+                    Status.GOOD, _se3_from_params7_np(T7_np[k]),
+                    int(inl_np[k])))
+            i += j
+        return results
 
     # -- NOT_READY ------------------------------------------------------
     def _start_init(self, pyr):

@@ -48,6 +48,8 @@ def align2d(
     max_error: float = 30.0,
     use_tpu: bool | None = None,
     prep=None,
+    origin_xy: jnp.ndarray | None = None,
+    pregathered=None,
 ) -> AlignResult:
     """Batched Align2D: refine N 2-D positions in `cur_img` so the local
     patch matches the reference patch, estimating (du, dv, mean_diff).
@@ -58,6 +60,11 @@ def align2d(
         1-px border* (for gradients), already warped to the target
         level (the reference warps with GetWarpAffineMatrix first).
       xy_init: [N, 2] initial positions (patch centers) in cur_img.
+      origin_xy: optional [N, 2] window-gather centers (TPU path only).
+        Passing a pose-PREDICTED projection here decouples the VMEM
+        window fetch from upstream kernels that refine xy_init; results
+        are additionally gated on drift from origin_xy so the reduced
+        slack never admits clamped samples.
     Returns:
       AlignResult with refined positions, convergence mask and final
       mean |residual| per point (for acceptance gating).
@@ -77,8 +84,18 @@ def align2d(
         xy0s = jnp.where(inb0[:, None], xy0, jnp.full_like(xy0, patch + 2.0))
         if prep is None:
             prep = _af.align2d_prepare(ref_patch_border)
+        org = None
+        if pregathered is not None:
+            # Windows (and their centers) were fetched up front by
+            # gather_frame_windows; gate drift against those centers.
+            org = pregathered.center
+        elif origin_xy is not None:
+            org = jnp.nan_to_num(origin_xy.astype(cur_img.dtype))
+            org = jnp.where(inb0[:, None], org, jnp.full_like(org, patch + 2.0))
         xy, mean_diff, err = _af.align2d_fused(
-            cur_img, prep, xy0s, n_iter=n_iter, conv_eps=conv_eps
+            cur_img, prep, xy0s, n_iter=n_iter, conv_eps=conv_eps,
+            origin_xy=None if pregathered is not None else org,
+            pregathered=pregathered,
         )
         inb = in_bounds(xy, H, W, margin=patch / 2 + 1)
         drift = jnp.linalg.norm(xy - xy_init, axis=-1)
@@ -86,6 +103,12 @@ def align2d(
         # px of drift — such points must be rejected, not trusted.
         max_drift = min(patch * 2.0, float(_ak.CACHE_SLACK))
         converged = inb0 & inb & (err < max_error) & (drift < max_drift)
+        if org is not None:
+            # Window centered at origin_xy: clamp kicks in relative to
+            # it, so gate that drift too.
+            converged = converged & (
+                jnp.linalg.norm(xy - org, axis=-1) < float(_ak.CACHE_SLACK)
+            )
         return AlignResult(xy=xy, converged=converged, error=err)
     # Interior reference patch and its gradients (inverse compositional:
     # Jacobians live on the reference, computed once).

@@ -58,6 +58,43 @@ EARLY_EXIT = False
 # data").  Interpret-mode accuracy was fine (0.038 px max divergence);
 # keep OFF until Mosaic supports sub-32-bit rotate.
 BF16_WINDOWS = False
+# Delta-roll sampling: iterations 2..n keep the window rolled to the
+# previous iteration's lattice origin and re-align with 5 rolls (2-bit
+# x-delta + 2-bit y-delta + 1 fixed compensation) instead of the full
+# 10-bit chain — GN steps are clamped to <=1 px/iteration so origin
+# deltas stay in [-1, 1].  Rolls are instruction-bound (~0.4 us each,
+# align2d does 143/frame), so this cuts the kernel's dominant cost by
+# ~1/3.  The step clamp is semantically safe at this call site: inits
+# are pose-corrected projections (sub-2-px error) and 10 iterations
+# allow 10 px of travel, near the 11 px cache slack that gates
+# acceptance anyway.  Measured +5.3% end-to-end (same-script A/B at
+# 480-frame chunks: 3757.5 -> 3956.7 fps).
+DELTA_ROLLS = True
+
+
+class A2DWindows(NamedTuple):
+    """Pre-fetched cached windows for align2d_fused — produced by
+    ops.sparse_align.gather_frame_windows so the fetch shares one
+    pallas_call with the sparse-align level gathers and never waits on
+    the sparse-align kernel."""
+    wins: jnp.ndarray    # [N, CACHE_WIN, CACHE_WIN]
+    ox: jnp.ndarray      # [N] int32 window origins
+    oy: jnp.ndarray      # [N] int32
+    center: jnp.ndarray  # [N, 2] gather centers (callers gate drift
+                         #        against these as well as xy_init)
+
+
+def a2d_window_origins(center_xy: jnp.ndarray, H: int, W: int):
+    """Cache-window origins for centers [N, 2] — the one formula both
+    the in-function gather and pre-gathering callers use."""
+    half = (PATCH - 1) / 2.0
+    ox = jnp.clip(
+        jnp.floor(center_xy[:, 0] - half) - CACHE_SLACK, 0, W - CACHE_WIN
+    ).astype(jnp.int32)
+    oy = jnp.clip(
+        jnp.floor(center_xy[:, 1] - half) - CACHE_SLACK, 0, H - CACHE_WIN
+    ).astype(jnp.int32)
+    return ox, oy
 
 
 class Align2DPrep(NamedTuple):
@@ -98,6 +135,7 @@ def align2d_prepare(ref_patch_border: jnp.ndarray) -> Align2DPrep:
 
 
 def _fused_kernel(n_iter: int, conv_eps: float, early_exit: bool,
+                  delta_rolls: bool,
                   wins_ref, ref_ref, jx_ref, jy_ref, hinv_ref, meta_ref,
                   out_ref):
     from jax.experimental.pallas import tpu as pltpu
@@ -123,10 +161,9 @@ def _fused_kernel(n_iter: int, conv_eps: float, early_exit: bool,
     valid = ((lr < PATCH) & (lc < PATCH)).astype(wdt)      # [1, FLAT]
     npix = float(PATCH * PATCH)
 
-    def sample(x, y):
-        """Bilinear [N, FLAT] patch stack at per-point [N, 1] float
-        (x, y), patch at lanes 32r+c; also returns a 0/1 [N, 1] flag
-        for positions clamped at the cache boundary."""
+    def lattice(x, y):
+        """Cache-relative sampling lattice at per-point float (x, y):
+        (fx, fy, x0, y0, clamped-at-boundary flag)."""
         fxu = x - half - ox
         fyu = y - half - oy
         clamped = jnp.where(
@@ -135,27 +172,60 @@ def _fused_kernel(n_iter: int, conv_eps: float, early_exit: bool,
         )
         fx = jnp.clip(fxu, 0.0, lim)
         fy = jnp.clip(fyu, 0.0, lim)
-        x0 = jnp.floor(fx)
-        y0 = jnp.floor(fy)
-        ax = (fx - x0).astype(wdt)                         # [N, 1]
-        ay = (fy - y0).astype(wdt)
-        s = y0.astype(jnp.int32) * CACHE_WIN + x0.astype(jnp.int32)  # [N, 1]
-        w = wins
-        # pltpu.roll wants non-negative shifts: left-roll by k is a
-        # right-roll by FLAT - k.
-        for b in range(_SMAX_BITS):
-            bit = ((s >> b) & 1).astype(wdt)               # [N, 1]
-            w = bit * pltpu.roll(w, FLAT - (1 << b), 1) + (1.0 - bit) * w
-        cur = (
+        return fx, fy, jnp.floor(fx), jnp.floor(fy), clamped
+
+    def mix(w, ax, ay):
+        """Bilinear blend of a window rolled so the patch starts at
+        lane 0 (3 unit rolls for the +1 taps)."""
+        return (
             (1 - ax) * (1 - ay) * w
             + ax * (1 - ay) * pltpu.roll(w, FLAT - 1, 1)
             + (1 - ax) * ay * pltpu.roll(w, FLAT - CACHE_WIN, 1)
             + ax * ay * pltpu.roll(w, FLAT - (CACHE_WIN + 1), 1)
         )
-        return cur, clamped
 
-    def gn_step(x, y, mean, frozen):
-        cur, clamped = sample(x, y)
+    def roll_full(x0, y0):
+        """Roll the base windows to lattice origin (x0, y0): the full
+        _SMAX_BITS bit-masked chain (pltpu.roll wants non-negative
+        shifts: left-roll by k is a right-roll by FLAT - k)."""
+        s = y0.astype(jnp.int32) * CACHE_WIN + x0.astype(jnp.int32)
+        w = wins
+        for b in range(_SMAX_BITS):
+            bit = ((s >> b) & 1).astype(wdt)               # [N, 1]
+            w = bit * pltpu.roll(w, FLAT - (1 << b), 1) + (1.0 - bit) * w
+        return w
+
+    def roll_delta(w, x0c, y0c, x0, y0):
+        """Re-align a window from lattice origin (x0c, y0c) to
+        (x0, y0) when both deltas are in [-1, 1] (guaranteed by the
+        <=1 px/iteration step clamp): 2+2 bit-masked unit rolls of the
+        biased deltas + one fixed compensation roll — 5 rolls instead
+        of the 10-bit chain."""
+        exi = (x0 - x0c).astype(jnp.int32) + 1             # {0, 1, 2}
+        eyi = (y0 - y0c).astype(jnp.int32) + 1
+        for b in range(2):
+            bit = ((exi >> b) & 1).astype(wdt)
+            w = bit * pltpu.roll(w, FLAT - (1 << b), 1) + (1.0 - bit) * w
+        for b in range(2):
+            bit = ((eyi >> b) & 1).astype(wdt)
+            w = (bit * pltpu.roll(w, FLAT - (CACHE_WIN << b), 1)
+                 + (1.0 - bit) * w)
+        # Undo the +1/+1 bias: net left-roll applied so far is
+        # (ex + CACHE_WIN*ey); right-roll by CACHE_WIN+1 corrects it.
+        return pltpu.roll(w, CACHE_WIN + 1, 1)
+
+    def sample(x, y):
+        """Bilinear [N, FLAT] patch stack at per-point [N, 1] float
+        (x, y), patch at lanes 32r+c; also returns a 0/1 [N, 1] flag
+        for positions clamped at the cache boundary."""
+        fx, fy, x0, y0, clamped = lattice(x, y)
+        ax = (fx - x0).astype(wdt)                         # [N, 1]
+        ay = (fy - y0).astype(wdt)
+        return mix(roll_full(x0, y0), ax, ay), clamped
+
+    def gn_solve(cur, clamped, mean, frozen):
+        """Residual + per-point 3x3 solve; returns the (possibly
+        step-clamped) updates and the new frozen flags."""
         r = (cur - refp + mean.astype(wdt)) * valid        # [N, FLAT]
         gx = jnp.sum(r * jx, axis=1, keepdims=True).astype(dt)  # [N, 1]
         gy = jnp.sum(r * jy, axis=1, keepdims=True).astype(dt)
@@ -166,17 +236,24 @@ def _fused_kernel(n_iter: int, conv_eps: float, early_exit: bool,
         small = jnp.where(
             du * du + dv * dv < conv_eps * conv_eps, 1.0, 0.0
         ).astype(dt)
+        if delta_rolls:
+            # <=1 px/iteration so the lattice origin moves by at most
+            # one cell between samples (roll_delta's contract).
+            du = jnp.clip(du, -1.0, 1.0)
+            dv = jnp.clip(dv, -1.0, 1.0)
         # A point clamped at the cache boundary has drifted beyond the
         # slack the caller accepts (it will be rejected by the drift
         # gate) — freeze it so one runaway can't pin the whole batch
         # at the iteration cap.
         done = jnp.maximum(small, clamped if early_exit else small * 0.0)
         act = (1.0 - done) * (1.0 - frozen)
-        x = x - act * du
-        y = y - act * dv
-        mean = mean - act * dm
         frozen = jnp.maximum(frozen, done)
-        return x, y, mean, frozen
+        return act * du, act * dv, act * dm, frozen
+
+    def gn_step(x, y, mean, frozen):
+        cur, clamped = sample(x, y)
+        du, dv, dm, frozen = gn_solve(cur, clamped, mean, frozen)
+        return x - du, y - dv, mean - dm, frozen
 
     # GN iterations: a lax.while_loop with f32 carries when early_exit
     # (all-points-frozen ends the loop; Mosaic legalizes f32 — not i1 —
@@ -185,6 +262,30 @@ def _fused_kernel(n_iter: int, conv_eps: float, early_exit: bool,
     y = meta[:, 3:4]
     mean = jnp.zeros((N, 1), dt)
     frozen = jnp.zeros((N, 1), dt)
+    if delta_rolls and not early_exit:
+        # One full roll chain positions the windows once; every later
+        # iteration re-aligns with 5 delta rolls (see DELTA_ROLLS).
+        fx, fy, x0, y0, clamped = lattice(x, y)
+        w = roll_full(x0, y0)
+        for _ in range(n_iter):
+            ax = (fx - x0).astype(wdt)
+            ay = (fy - y0).astype(wdt)
+            cur = mix(w, ax, ay)
+            du, dv, dm, frozen = gn_solve(cur, clamped, mean, frozen)
+            x = x - du
+            y = y - dv
+            mean = mean - dm
+            x0c, y0c = x0, y0
+            fx, fy, x0, y0, clamped = lattice(x, y)
+            w = roll_delta(w, x0c, y0c, x0, y0)
+        cur = mix(w, (fx - x0).astype(wdt), (fy - y0).astype(wdt))
+        err = jnp.sum(
+            jnp.abs((cur - refp + mean.astype(wdt)) * valid), axis=1,
+            keepdims=True,
+        ).astype(dt) / npix
+        out = jnp.concatenate([x, y, mean, err], axis=1)   # [N, 4]
+        out_ref[...] = jnp.pad(out, ((0, 0), (0, 4)))
+        return
     if early_exit:
         it0 = jnp.zeros((1, 1), dt)
 
@@ -219,27 +320,35 @@ def align2d_fused(
     n_iter: int = 10,
     conv_eps: float = 0.03,
     early_exit: bool | None = None,
+    origin_xy: jnp.ndarray | None = None,
+    pregathered: A2DWindows | None = None,
 ):
     """Cached-window align2d with the GN loop fused into one kernel.
 
     Same contract as align2d_kernel.align2d_pallas: returns
     (xy [N,2], mean [N], err [N]); the caller rejects drift beyond
-    CACHE_SLACK and err above its threshold."""
+    CACHE_SLACK and err above its threshold.
+
+    `origin_xy` optionally centers each point's cached window somewhere
+    other than `xy_init` — e.g. the frame-INIT pose projection, making
+    the window gather independent of the preceding sparse-align kernel
+    (the DMA overlaps it instead of waiting on it).  The effective
+    drift slack shrinks by |origin_xy - xy_init|; callers must gate
+    results against origin_xy as well as xy_init."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     if early_exit is None:
         early_exit = EARLY_EXIT
+    delta_rolls = DELTA_ROLLS and not early_exit
     H, W = cur_img.shape
     N = xy_init.shape[0]
-    half = (PATCH - 1) / 2.0
-    ox = jnp.clip(
-        jnp.floor(xy_init[:, 0] - half) - CACHE_SLACK, 0, W - CACHE_WIN
-    ).astype(jnp.int32)
-    oy = jnp.clip(
-        jnp.floor(xy_init[:, 1] - half) - CACHE_SLACK, 0, H - CACHE_WIN
-    ).astype(jnp.int32)
-    wins = gather_windows(cur_img, ox, oy, CACHE_WIN)      # [N, 32, 32]
+    if pregathered is not None:
+        wins, ox, oy = pregathered.wins, pregathered.ox, pregathered.oy
+    else:
+        center = xy_init if origin_xy is None else origin_xy
+        ox, oy = a2d_window_origins(center, H, W)
+        wins = gather_windows(cur_img, ox, oy, CACHE_WIN)  # [N, 32, 32]
     pdt = jnp.float32
     wdt = jnp.bfloat16 if BF16_WINDOWS else pdt
     meta = jnp.stack(
@@ -249,7 +358,7 @@ def align2d_fused(
     )
     meta = jnp.pad(meta, ((0, 0), (0, 4)))
     out = pl.pallas_call(
-        partial(_fused_kernel, n_iter, conv_eps, early_exit),
+        partial(_fused_kernel, n_iter, conv_eps, early_exit, delta_rolls),
         out_shape=jax.ShapeDtypeStruct((N, 8), pdt),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),

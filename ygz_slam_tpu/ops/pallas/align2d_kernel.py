@@ -100,14 +100,7 @@ def gather_windows(img: jnp.ndarray, xi: jnp.ndarray, yi: jnp.ndarray,
     # is itself tile-aligned: otherwise flooring the clamp bound to the
     # tile grid shrinks coverage and bottom/right-edge features read
     # past the super-window (observed as NaNs at y ~ H-4).
-    win_h = win + 8 + ((H - win - 8) % 8)
-    if W <= 512:
-        win_w = W
-    else:
-        win_w = 256 + ((W - 256) % 128)
-    y_max = max(H - win_h, 0)
-    x_max = max(W - win_w, 0)
-    assert y_max % 8 == 0 and x_max % 128 == 0, (H, W, win_h, win_w)
+    win_h, win_w, y_max, x_max = _aligned_window_dims(H, W, win)
     y_al = jnp.clip((yi // 8) * 8, 0, y_max)
     x_al = jnp.clip((xi // 128) * 128, 0, x_max)
     dy = yi - y_al
@@ -152,16 +145,9 @@ def gather_windows(img: jnp.ndarray, xi: jnp.ndarray, yi: jnp.ndarray,
         return sup[:, :win, :win]
     if SHIFT_MODE == "matmul":
         # Sub-tile shift as batched one-hot contractions on the MXU:
-        # out[n,r,c] = sum_h P[n,r,h] sup[n,h,w] Q[n,w,c] with P/Q
-        # selection matrices from iota compares.  XLA index gathers
-        # (take_along_axis) cost ~59 us per window fetch at this shape
-        # on TPU; the two matmuls are a few MFLOP.
-        P = (dy[:, None, None] + jnp.arange(win)[None, :, None]
-             == jnp.arange(win_h)[None, None, :]).astype(img.dtype)
-        rowsel = jnp.einsum("nrh,nhw->nrw", P, sup)      # [N,win,win_w]
-        Q = (dx[:, None, None] + jnp.arange(win)[None, None, :]
-             == jnp.arange(win_w)[None, :, None]).astype(img.dtype)
-        return jnp.einsum("nrw,nwc->nrc", rowsel, Q)     # [N,win,win]
+        # XLA index gathers (take_along_axis) cost ~59 us per window
+        # fetch at this shape on TPU; the two matmuls are a few MFLOP.
+        return _shift_matmul(sup, dy, dx, win, win_h, win_w, img.dtype)
     rows = dy[:, None] + jnp.arange(win)[None, :]        # [N, win]
     cols = dx[:, None] + jnp.arange(win)[None, :]        # [N, win]
     sub = jnp.take_along_axis(sup, rows[:, :, None], axis=1)
@@ -183,6 +169,117 @@ SHIFT_IN_KERNEL = False  # back-compat alias for "kernel" mode
 # "skip_gather") — produces WRONG windows; bench accuracy gates fail
 # by construction.  Used to attribute fixed-cost time (_bench_ab2.py).
 _TIMING_PROBE = ""
+
+
+def _aligned_window_dims(H: int, W: int, win: int):
+    """Super-window dims + clamp bounds for a tile-aligned fetch of a
+    [win, win] window from an [H, W] image (see gather_windows)."""
+    win_h = win + 8 + ((H - win - 8) % 8)
+    win_w = W if W <= 512 else 256 + ((W - 256) % 128)
+    y_max = max(H - win_h, 0)
+    x_max = max(W - win_w, 0)
+    assert y_max % 8 == 0 and x_max % 128 == 0, (H, W, win_h, win_w)
+    return win_h, win_w, y_max, x_max
+
+
+def _shift_matmul(sup, dy, dx, win, win_h, win_w, dtype):
+    """Sub-tile shift of aligned super-windows as one-hot MXU
+    contractions (the measured-fastest strategy; see SHIFT_MODE)."""
+    P = (dy[:, None, None] + jnp.arange(win)[None, :, None]
+         == jnp.arange(win_h)[None, None, :]).astype(dtype)
+    rowsel = jnp.einsum("nrh,nhw->nrw", P, sup)          # [N,win,win_w]
+    Q = (dx[:, None, None] + jnp.arange(win)[None, None, :]
+         == jnp.arange(win_w)[None, :, None]).astype(dtype)
+    return jnp.einsum("nrw,nwc->nrc", rowsel, Q)         # [N,win,win]
+
+
+def _gather_kernel_grouped(metas, chunk: int, *refs):
+    """One grid step copies `chunk` aligned super-windows for EVERY
+    group.  metas: static list of (img_slot, win_h, win_w); refs are
+    [xi_0, yi_0, xi_1, yi_1, ...] scalar-prefetch, then the deduplicated
+    images, then one out ref per group."""
+    from jax.experimental import pallas as pl
+
+    n_g = len(metas)
+    n_imgs = max(m[0] for m in metas) + 1
+    scalar_refs = refs[:2 * n_g]
+    img_refs = refs[2 * n_g:2 * n_g + n_imgs]
+    out_refs = refs[2 * n_g + n_imgs:]
+    i = pl.program_id(0)
+    for g, (slot, wh, ww) in enumerate(metas):
+        xi_ref, yi_ref = scalar_refs[2 * g], scalar_refs[2 * g + 1]
+        img_ref = img_refs[slot]
+        out_ref = out_refs[g]
+        for j in range(chunk):
+            y = pl.multiple_of(yi_ref[i * chunk + j], 8)
+            x = pl.multiple_of(xi_ref[i * chunk + j], 128)
+            out_ref[j] = img_ref[pl.ds(y, wh), pl.ds(x, ww)]
+
+
+def gather_windows_grouped(groups):
+    """Fetch window stacks for SEVERAL (img, xi, yi, win) requests with
+    ONE pallas_call — the per-frame tracking step issues 4 independent
+    gathers (3 sparse-align pyramid levels + the align2d cache), and
+    merging them removes 3 kernel launches and their sequencing gaps.
+
+    Each group has gather_windows semantics exactly: [H, W] image +
+    int window origins [N] -> [N, win, win] windows (caller guarantees
+    nothing; origins are clamped/aligned here).  Returns a list of
+    window stacks in group order.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert groups, "need at least one gather request"
+    # Deduplicate images by object identity (level 0 serves both the
+    # sparse and align2d groups).
+    imgs, slot_of = [], []
+    for img, _, _, _ in groups:
+        for s, existing in enumerate(imgs):
+            if existing is img:
+                slot_of.append(s)
+                break
+        else:
+            slot_of.append(len(imgs))
+            imgs.append(img)
+    dtype = imgs[0].dtype
+
+    chunk = min(CHUNK, max(g[1].shape[0] for g in groups))
+    n_steps = max(-(-g[1].shape[0] // chunk) for g in groups)
+    metas, scalars, shifts = [], [], []
+    for (img, xi, yi, win), slot in zip(groups, slot_of):
+        H, W = img.shape
+        win_h, win_w, y_max, x_max = _aligned_window_dims(H, W, win)
+        y_al = jnp.clip((yi // 8) * 8, 0, y_max)
+        x_al = jnp.clip((xi // 128) * 128, 0, x_max)
+        pad = n_steps * chunk - xi.shape[0]
+        scalars += [jnp.pad(x_al, (0, pad)), jnp.pad(y_al, (0, pad))]
+        metas.append((slot, win_h, win_w))
+        shifts.append((yi - y_al, xi - x_al, win, win_h, win_w))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2 * len(groups),
+        grid=(n_steps,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(imgs),
+        out_specs=[
+            pl.BlockSpec((chunk, wh, ww), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for (_, wh, ww) in metas
+        ],
+    )
+    sups = pl.pallas_call(
+        partial(_gather_kernel_grouped, metas, chunk),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_steps * chunk, wh, ww), dtype)
+            for (_, wh, ww) in metas
+        ],
+        grid_spec=grid_spec,
+    )(*scalars, *imgs)
+    outs = []
+    for sup, (dy, dx, win, win_h, win_w) in zip(sups, shifts):
+        N = dy.shape[0]
+        outs.append(_shift_matmul(sup[:N], dy, dx, win, win_h, win_w, dtype))
+    return outs
 
 
 def _gather_kernel_multi(win_h: int, win_w: int, chunk: int,
@@ -209,10 +306,7 @@ def gather_windows_multi(imgs: jnp.ndarray, img_idx: jnp.ndarray,
 
     N = xi.shape[0]
     S, H, W = imgs.shape
-    win_h = win + 8 + ((H - win - 8) % 8)
-    win_w = W if W <= 512 else 256 + ((W - 256) % 128)
-    y_max = max(H - win_h, 0)
-    x_max = max(W - win_w, 0)
+    win_h, win_w, y_max, x_max = _aligned_window_dims(H, W, win)
     y_al = jnp.clip((yi // 8) * 8, 0, y_max)
     x_al = jnp.clip((xi // 128) * 128, 0, x_max)
     dy = yi - y_al
@@ -241,12 +335,7 @@ def gather_windows_multi(imgs: jnp.ndarray, img_idx: jnp.ndarray,
     if SHIFT_MODE == "matmul":
         # One-hot MXU contractions instead of XLA index gathers — same
         # fix as gather_windows (measured 1397 -> 2147 fps there).
-        P = (dy[:, None, None] + jnp.arange(win)[None, :, None]
-             == jnp.arange(win_h)[None, None, :]).astype(imgs.dtype)
-        rowsel = jnp.einsum("nrh,nhw->nrw", P, sup)
-        Q = (dx[:, None, None] + jnp.arange(win)[None, None, :]
-             == jnp.arange(win_w)[None, :, None]).astype(imgs.dtype)
-        return jnp.einsum("nrw,nwc->nrc", rowsel, Q)
+        return _shift_matmul(sup, dy, dx, win, win_h, win_w, imgs.dtype)
     rows = dy[:, None] + jnp.arange(win)[None, :]
     cols = dx[:, None] + jnp.arange(win)[None, :]
     sub = jnp.take_along_axis(sup, rows[:, :, None], axis=1)

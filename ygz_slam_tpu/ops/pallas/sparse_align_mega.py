@@ -307,6 +307,34 @@ def _mega_kernel(n_levels: int, n_iter: int, eps: float,
     out_ref[...] = acc
 
 
+def mega_init_projection(p_ref, R0, t0, cam, distorted):
+    """Level-0 pixel projections of the reference points at the
+    frame-init pose — the anchor every level's window origin derives
+    from."""
+    pc0 = p_ref @ R0.T + t0
+    px0_l0 = cam.camera_to_pixel(pc0, distorted=distorted)
+    return pc0, jnp.nan_to_num(px0_l0)
+
+
+def mega_window_requests(cur_pyr, px0_l0, n_levels):
+    """Per-level (img, ox, oy, CWIN) gather requests + origins, shared
+    by the internal gather and callers that pre-gather all of a frame's
+    windows in one fused pallas_call (gather_windows_grouped)."""
+    reqs, oxs, oys = [], [], []
+    for li in range(n_levels):
+        img = cur_pyr[li]
+        Hl, Wl = img.shape
+        px0 = px0_l0 / (2.0 ** li)
+        ox = jnp.clip(jnp.floor(px0[:, 0] - _HALF) - SLACK, 0, Wl - CWIN
+                      ).astype(jnp.int32)
+        oy = jnp.clip(jnp.floor(px0[:, 1] - _HALF) - SLACK, 0, Hl - CWIN
+                      ).astype(jnp.int32)
+        reqs.append((img, ox, oy, CWIN))
+        oxs.append(ox)
+        oys.append(oy)
+    return reqs, oxs, oys
+
+
 def sparse_align_mega(
     cur_pyr,
     level_refs,           # list indexed [level] of LevelRef (lanes packed)
@@ -321,6 +349,7 @@ def sparse_align_mega(
     eps: float = 1e-4,
     mega_refp: jnp.ndarray | None = None,
     mega_jl: jnp.ndarray | None = None,
+    pregathered=None,     # list of [N, CWIN, CWIN] windows per level
 ):
     """All pyramid levels of sparse-direct alignment in one kernel.
 
@@ -338,21 +367,16 @@ def sparse_align_mega(
     n_levels = max_level - min_level + 1
     assert min_level == 0, "mega kernel assumes levels max_level..0"
 
-    pc0 = p_ref @ R0.T + t0
-    px0_l0 = cam.camera_to_pixel(pc0, distorted=distorted)
-    px0_l0 = jnp.nan_to_num(px0_l0)
+    pc0, px0_l0 = mega_init_projection(p_ref, R0, t0, cam, distorted)
 
-    wins = []
-    oxs, oys, lvis = [], [], []
+    reqs, oxs_i, oys_i = mega_window_requests(cur_pyr, px0_l0, n_levels)
+    wins, oxs, oys, lvis = [], [], [], []
     for li in range(n_levels):
-        img = cur_pyr[li]
-        Hl, Wl = img.shape
-        px0 = px0_l0 / (2.0 ** li)
-        ox = jnp.clip(jnp.floor(px0[:, 0] - _HALF) - SLACK, 0, Wl - CWIN
-                      ).astype(jnp.int32)
-        oy = jnp.clip(jnp.floor(px0[:, 1] - _HALF) - SLACK, 0, Hl - CWIN
-                      ).astype(jnp.int32)
-        wins.append(gather_windows(img, ox, oy, CWIN).reshape(N, FLAT))
+        img, ox, oy, _ = reqs[li]
+        if pregathered is not None:
+            wins.append(pregathered[li].reshape(N, FLAT))
+        else:
+            wins.append(gather_windows(img, ox, oy, CWIN).reshape(N, FLAT))
         oxs.append(ox.astype(dt))
         oys.append(oy.astype(dt))
         lvis.append(level_refs[li].vis.astype(dt))

@@ -311,6 +311,62 @@ def prepare_reference(
                          mega_refp=mega_refp, mega_jl=mega_jl)
 
 
+class FrameWindows(NamedTuple):
+    """All of one tracking step's VMEM window fetches, performed by ONE
+    pallas_call (gather_frame_windows): the sparse-align levels' caches
+    plus (optionally) the align2d patch caches.  Every gather depends
+    only on the frame-INIT pose, so none of them waits on a kernel."""
+    mega_wins: tuple | None          # per-level [N, CWIN, CWIN]
+    a2d: object | None               # align2d_fused.A2DWindows
+
+
+def gather_frame_windows(
+    cur_pyr: tuple[jnp.ndarray, ...],
+    cam,
+    ref_prep: ReferencePrep,
+    T_init: SE3,
+    distorted: bool = True,
+    max_level: int | None = None,
+    a2d_centers: jnp.ndarray | None = None,
+    a2d_img: jnp.ndarray | None = None,
+) -> FrameWindows:
+    """Fetch the frame's sparse-align level windows and (optionally)
+    align2d cache windows in one fused gather kernel.
+
+    `a2d_centers` are predicted patch positions (e.g. local-map points
+    projected at the frame-init pose); passing them here instead of
+    letting align2d gather at its refined init positions trades
+    CACHE_SLACK margin (the pose correction, a couple of px at video
+    rates) for a gather that overlaps the sparse-align kernel instead
+    of serializing behind it."""
+    from .pallas.sparse_align_mega import (
+        mega_init_projection, mega_window_requests,
+    )
+    from .pallas import align2d_fused as _af
+    from .pallas.align2d_kernel import gather_windows_grouped
+
+    if max_level is None:
+        max_level = len(cur_pyr) - 1
+    n_levels = max_level + 1
+    _, px0_l0 = mega_init_projection(
+        ref_prep.p_ref, T_init.R, T_init.t, cam, distorted
+    )
+    reqs, _, _ = mega_window_requests(cur_pyr, px0_l0, n_levels)
+    centers = ox = oy = None
+    if a2d_centers is not None:
+        img0 = cur_pyr[0] if a2d_img is None else a2d_img
+        Hh, Ww = img0.shape
+        centers = jnp.nan_to_num(a2d_centers.astype(img0.dtype))
+        ox, oy = _af.a2d_window_origins(centers, Hh, Ww)
+        reqs.append((img0, ox, oy, _af.CACHE_WIN))
+    outs = gather_windows_grouped(reqs)
+    a2d = None
+    if a2d_centers is not None:
+        a2d = _af.A2DWindows(wins=outs[n_levels], ox=ox, oy=oy,
+                             center=centers)
+    return FrameWindows(mega_wins=tuple(outs[:n_levels]), a2d=a2d)
+
+
 def sparse_image_align(
     ref_pyr: tuple[jnp.ndarray, ...],
     cur_pyr: tuple[jnp.ndarray, ...],
@@ -325,6 +381,7 @@ def sparse_image_align(
     use_weights: bool = False,
     distorted: bool = True,
     ref_prep: ReferencePrep | None = None,
+    frame_windows: FrameWindows | None = None,
 ) -> AlignStats:
     """Coarse-to-fine sparse-direct alignment.
 
@@ -362,9 +419,11 @@ def sparse_image_align(
 
         R_out, t_out, chi2, Hm = sparse_align_mega(
             cur_pyr, ref_prep.levels, p_ref, T_init.R, T_init.t, cam,
-            distorted=True, max_level=max_level, min_level=0,
+            distorted=distorted, max_level=max_level, min_level=0,
             n_iter=min(n_iter, 12), eps=1e-4,
             mega_refp=ref_prep.mega_refp, mega_jl=ref_prep.mega_jl,
+            pregathered=(None if frame_windows is None
+                         else frame_windows.mega_wins),
         )
         n_vis = jnp.sum(ref_prep.levels[0].vis)
         return AlignStats(T_cur_ref=SE3(R_out, t_out), chi2=chi2,

@@ -33,6 +33,17 @@ from ..ops.pallas import align2d_kernel as ak
 from .mesh import LANDMARK_AXIS
 
 
+# Batch-path kernel strategy (bench_batch A/B):
+#   True  — per-sequence FUSED mega kernels for sparse align (each
+#           sequence keeps its own early-exiting in-kernel GN) + ONE
+#           fused align2d kernel over all S*N flattened points; glue,
+#           gathers and the pose BA amortize across the batch.
+#   False — the pre-fusion formulation: per-GN-iteration multi-image
+#           window gathers in an XLA while_loop (measured 832 aggregate
+#           fps at S=8 vs 3577 single-sequence — kept for comparison).
+USE_FUSED_BATCH = True
+
+
 def batched_sparse_align(
     ref_pyrs: tuple[jnp.ndarray, ...],   # per level: [S, h, w]
     cur_pyrs: tuple[jnp.ndarray, ...],
@@ -42,10 +53,42 @@ def batched_sparse_align(
     mask: jnp.ndarray,                   # [S, N]
     T_init: SE3,                         # batched [S]
     n_iter: int = 15,
+    ref_preps: list | None = None,       # per-seq ReferencePrep (hoist!)
 ) -> SE3:
     """One batched coarse-to-fine sparse-direct alignment step for S
     sequences at once.  Returns SE3 batched [S]."""
     S, N = mask.shape
+    if USE_FUSED_BATCH and ak.on_tpu() and ak.usable(
+            ref_pyrs[0].shape[1:], 6):
+        # Per-sequence fused mega kernels: sequence s's whole
+        # coarse-to-fine GN runs in one kernel (data-dependent early
+        # exit stays per-sequence); window gathers are one fused
+        # pallas_call per sequence (gather_frame_windows).
+        from ..ops import sparse_align as sa
+
+        T7_in = T_init.params7()
+        T7s = []
+        for s in range(S):
+            rp = tuple(r[s] for r in ref_pyrs)
+            cp = tuple(c[s] for c in cur_pyrs)
+            prep = None if ref_preps is None else ref_preps[s]
+            if prep is None:
+                prep = sa.prepare_reference(
+                    rp, cam, px_ref[s], depth_ref[s], mask[s],
+                    distorted=False,
+                )
+            T0 = SE3.from_params7(T7_in[s])
+            fw = sa.gather_frame_windows(
+                cp, cam, prep, T0, distorted=False,
+                max_level=len(cp) - 1,
+            )
+            st = sa.sparse_image_align(
+                rp, cp, cam, px_ref[s], depth_ref[s], mask[s], T0,
+                n_iter=n_iter, distorted=False, ref_prep=prep,
+                frame_windows=fw,
+            )
+            T7s.append(st.T_cur_ref.params7())
+        return SE3.from_params7(jnp.stack(T7s))
     if not (ak.on_tpu() and ak.usable(ref_pyrs[0].shape[1:], 6)):
         from ..ops.sparse_align import sparse_image_align
 
@@ -143,11 +186,12 @@ def batched_align2d(
     xy_init: jnp.ndarray,            # [S, N, 2]
     n_iter: int = 10,
     max_error: float = 30.0,
+    a2d_prep=None,                   # flattened Align2DPrep (hoist!)
 ):
     """Batched patch alignment across S sequences: the TPU path flattens
-    all S*N patches into one multi-image VMEM window GN; off-TPU it
-    vmaps the single-image aligner.  Returns (xy [S,N,2],
-    converged [S,N], err [S,N])."""
+    all S*N patches into ONE fused-GN align2d kernel (windows fetched by
+    the multi-image gatherer); off-TPU it vmaps the single-image
+    aligner.  Returns (xy [S,N,2], converged [S,N], err [S,N])."""
     from ..ops.align import align2d
 
     S, N = ref_patches.shape[:2]
@@ -165,10 +209,29 @@ def batched_align2d(
     xy0 = xy_init.reshape(S * N, 2)
     inb0 = in_bounds(xy0, H, W, margin=patch / 2 + 2)
     xy0s = jnp.where(inb0[:, None], xy0, jnp.full_like(xy0, patch + 2.0))
-    xy, mean, err = ak.align2d_pallas_multi(
-        cur_imgs, seq_idx, ref_patches.reshape(S * N, *ref_patches.shape[2:]),
-        xy0s, n_iter=n_iter,
-    )
+    if USE_FUSED_BATCH:
+        # One fused-GN kernel over all S*N points — the kernel is
+        # purely per-point, so sequences only differ in which image
+        # their cached window was fetched from.
+        from ..ops.pallas import align2d_fused as _af
+
+        if a2d_prep is None:
+            a2d_prep = _af.align2d_prepare(
+                ref_patches.reshape(S * N, *ref_patches.shape[2:]))
+        ox, oy = _af.a2d_window_origins(xy0s, H, W)
+        wins = ak.gather_windows_multi(
+            cur_imgs, seq_idx, ox, oy, _af.CACHE_WIN)
+        xy, mean, err = _af.align2d_fused(
+            cur_imgs[0], a2d_prep, xy0s, n_iter=n_iter,
+            pregathered=_af.A2DWindows(wins=wins, ox=ox, oy=oy,
+                                       center=xy0s),
+        )
+    else:
+        xy, mean, err = ak.align2d_pallas_multi(
+            cur_imgs, seq_idx,
+            ref_patches.reshape(S * N, *ref_patches.shape[2:]),
+            xy0s, n_iter=n_iter,
+        )
     inb = in_bounds(xy, H, W, margin=patch / 2 + 1)
     drift = jnp.linalg.norm(xy - xy0, axis=-1)
     max_drift = min(patch * 2.0, float(ak.CACHE_SLACK))
@@ -189,23 +252,30 @@ def batched_track_step(
     ref_patches: jnp.ndarray,        # [S, N, 10, 10]
     T_init: SE3,                     # batched [S]
     n_align_iter: int = 15,
+    ref_preps: list | None = None,   # per-seq sparse ReferencePrep
+    a2d_prep=None,                   # flattened [S*N] Align2DPrep
 ) -> tuple[SE3, jnp.ndarray]:
     """The FULL per-frame tracking computation for S sequences at once
     (multi-sequence batch SfM): batched sparse-direct alignment ->
     batched map patch alignment -> batched pose-only BA.  One jit call
     advances every sequence one frame; returns (poses [S], inliers [S]).
-    """
+
+    `ref_preps`/`a2d_prep` are keyframe-constant and should be computed
+    once per keyframe set (prepare_reference per sequence /
+    align2d_prepare of the flattened patches) and passed to every
+    frame step."""
     from ..solvers.ba import pose_only_ba
 
     S, N = mask.shape
     T = batched_sparse_align(
         ref_pyrs, cur_pyrs, cam, px_ref, depth_ref, mask, T_init,
-        n_iter=n_align_iter,
+        n_iter=n_align_iter, ref_preps=ref_preps,
     )
     proj = jax.vmap(
         lambda Ti, p: cam.world_to_pixel(p, Ti, distorted=False)
     )(T, pts_w)
-    xy, conv, _err = batched_align2d(cur_pyrs[0], ref_patches, proj)
+    xy, conv, _err = batched_align2d(cur_pyrs[0], ref_patches, proj,
+                                     a2d_prep=a2d_prep)
     T_out, inlier, _chi2 = jax.vmap(
         # use_fused=False: this site is vmapped over sequences; the
         # batched XLA formulation amortizes across the batch already.

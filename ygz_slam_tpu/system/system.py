@@ -75,6 +75,19 @@ class System:
         assert self.sensor == Sensor.MONOCULAR
         return self.vo.add_frame(img, timestamp)
 
+    def track_monocular_chunk(self, imgs, timestamps=None,
+                              chunk: int | None = None):
+        """Throughput entry point: track a batch of consecutive frames
+        with whole-chunk on-device scans (VisualOdometry.add_frames).
+        Same per-frame results as repeated track_monocular, but the
+        fixed per-dispatch cost is paid per chunk instead of per frame
+        — the difference between ~video-rate and bench-level
+        throughput when frames arrive faster than real time (offline
+        processing, serving, multi-camera ingestion).  Returns a
+        TrackResult per frame."""
+        assert self.sensor == Sensor.MONOCULAR
+        return self.vo.add_frames(imgs, timestamps, chunk=chunk)
+
     def track_rgbd(self, img, depth, timestamp: float):
         assert self.sensor == Sensor.RGBD
         return self.vo.add_frame(img, timestamp, depth=depth)

@@ -21,6 +21,42 @@ from .synthetic import PlaneScene
 import jax.numpy as jnp
 
 
+def _imread_gray(path: str) -> np.ndarray | None:
+    """Grayscale image as float32 [H, W]: OpenCV when present, PIL
+    otherwise (this build image ships PIL but not cv2)."""
+    try:
+        import cv2
+
+        img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+        return None if img is None else img.astype(np.float32)
+    except ImportError:
+        pass
+    try:
+        from PIL import Image
+
+        with Image.open(path) as im:
+            return np.asarray(im.convert("L"), np.float32)
+    except Exception:
+        return None
+
+
+def _imread_raw(path: str) -> np.ndarray | None:
+    """Raw (e.g. 16-bit depth PNG) image, unconverted."""
+    try:
+        import cv2
+
+        return cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    except ImportError:
+        pass
+    try:
+        from PIL import Image
+
+        with Image.open(path) as im:
+            return np.asarray(im)
+    except Exception:
+        return None
+
+
 @dataclass
 class FrameData:
     timestamp: float
@@ -85,21 +121,76 @@ class TumDataset:
         return len(self.pairs)
 
     def __iter__(self):
-        import cv2
-
         for ts, rgb_rel, depth_rel in self.pairs:
-            img = cv2.imread(os.path.join(self.root, rgb_rel),
-                             cv2.IMREAD_GRAYSCALE)
+            img = _imread_gray(os.path.join(self.root, rgb_rel))
             if img is None:
                 continue
             depth = None
             if depth_rel:
-                d = cv2.imread(os.path.join(self.root, depth_rel),
-                               cv2.IMREAD_UNCHANGED)
+                d = _imread_raw(os.path.join(self.root, depth_rel))
                 if d is not None:
                     depth = d.astype(np.float32) / self.DEPTH_SCALE
                     depth[depth <= 0] = -1.0
-            yield FrameData(ts, img.astype(np.float32), depth, None)
+            yield FrameData(ts, img, depth, None)
+
+
+class EurocDataset:
+    """EuRoC MAV sequence in ASL format (BASELINE.json config 4 —
+    EuRoC MH_01): grayscale `mav0/<cam>/data.csv` (timestamp_ns,
+    filename) with optional `state_groundtruth_estimate0/data.csv`
+    (p_WB, q_WB wxyz) ground truth.  Yields the same FrameData
+    contract as TumDataset."""
+
+    def __init__(self, root: str, cam: str = "cam0"):
+        base = os.path.join(root, "mav0")
+        if not os.path.isdir(base):
+            base = root                      # already points at mav0
+        self.img_dir = os.path.join(base, cam, "data")
+        self.items: list[tuple[float, str]] = []
+        with open(os.path.join(base, cam, "data.csv")) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                p = line.split(",")
+                self.items.append((int(p[0]) * 1e-9, p[1].strip()))
+        self.groundtruth = self._read_gt(os.path.join(
+            base, "state_groundtruth_estimate0", "data.csv"))
+
+    @staticmethod
+    def _read_gt(path):
+        """(stamps, T_cw list) like trajectory.load_tum — EuRoC stores
+        T_WB (body in world); inverted here to the camera-from-world
+        convention the System uses (body≈cam0 up to the fixed
+        extrinsic, which cancels in ATE evaluation)."""
+        if not os.path.exists(path):
+            return None
+        from ..geometry import so3
+
+        stamps, poses = [], []
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                v = [float(x) for x in line.split(",")[:8]]
+                ts = v[0] * 1e-9
+                t_wb = jnp.asarray(v[1:4])
+                R_wb = so3.from_quaternion(jnp.asarray(
+                    [v[4], v[5], v[6], v[7]]))     # wxyz
+                stamps.append(ts)
+                poses.append(SE3(R_wb, t_wb).inverse())
+        return stamps, poses
+
+    def __len__(self):
+        return len(self.items)
+
+    def __iter__(self):
+        for ts, name in self.items:
+            img = _imread_gray(os.path.join(self.img_dir, name))
+            if img is None:
+                continue
+            yield FrameData(ts, img, None, None)
 
 
 class SyntheticDataset:
