@@ -251,6 +251,7 @@ def main():
         # align2d delta-roll sampling: 5 rolls/iter after the first
         # full positioning (vs 10), <=1 px/iter step clamp.
         from ygz_slam_tpu.ops.pallas import align2d_fused as _afm
+        _prev_delta_rolls = _afm.DELTA_ROLLS
         _afm.DELTA_ROLLS = False
         fps["R0"] = time_variant("R_full_rolls", pose_fused=True,
                                  sparse_variant=3, a2d_ee=False,
@@ -259,7 +260,9 @@ def main():
         fps["R1"] = time_variant("R_delta_rolls", pose_fused=True,
                                  sparse_variant=3, a2d_ee=False,
                                  n_frames=480)
-        _afm.DELTA_ROLLS = False
+        # Restore the module default so later variants in the same
+        # invocation (U/X/Z) run the intended configuration.
+        _afm.DELTA_ROLLS = _prev_delta_rolls
     if "U" in which:
         # ALL 4 window gathers (3 sparse levels + align2d cache) in one
         # pallas_call, everything fetched at the frame-init pose.

@@ -182,15 +182,28 @@ class TestFusedBatchPath:
         ]
         a2d_prep = align2d_prepare(pat.reshape(S * N, 10, 10))
 
-        bt.USE_FUSED_BATCH = True
+        prev = bt.USE_FUSED_BATCH
         try:
+            bt.USE_FUSED_BATCH = True
             T_f, inl_f = bt.batched_track_step(
                 rp, cp, CAM, px, d, mask, pw, pat, T0,
                 ref_preps=ref_preps, a2d_prep=a2d_prep)
+            bt.USE_FUSED_BATCH = False
+            T_s, inl_s = bt.batched_track_step(
+                rp, cp, CAM, px, d, mask, pw, pat, T0,
+                ref_preps=ref_preps, a2d_prep=a2d_prep)
         finally:
-            bt.USE_FUSED_BATCH = True
+            bt.USE_FUSED_BATCH = prev
         for s in range(S):
             err = float(se3.distance(
                 jax.tree.map(lambda a: a[s], T_f), T_gt))
             assert err < 5e-3, (s, err)
             assert int(inl_f[s]) > 0.8 * N, (s, int(inl_f[s]))
+            # The fused path must agree with the unfused fallback, not
+            # just with ground truth.
+            err_fs = float(se3.distance(
+                jax.tree.map(lambda a: a[s], T_f),
+                jax.tree.map(lambda a: a[s], T_s)))
+            assert err_fs < 5e-3, (s, err_fs)
+            assert abs(int(inl_f[s]) - int(inl_s[s])) <= 0.1 * N, (
+                s, int(inl_f[s]), int(inl_s[s]))

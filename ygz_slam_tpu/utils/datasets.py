@@ -18,6 +18,7 @@ import numpy as np
 from ..geometry.se3 import SE3
 from ..geometry import se3 as se3m
 from .synthetic import PlaneScene
+import jax
 import jax.numpy as jnp
 
 
@@ -167,19 +168,28 @@ class EurocDataset:
             return None
         from ..geometry import so3
 
-        stamps, poses = [], []
+        # Parse the whole CSV into numpy first, then do ONE batched
+        # quaternion->rotation + inverse over all rows: real EuRoC
+        # ground-truth files run to ~100k rows at 200 Hz, and building
+        # per-row jnp arrays would issue that many tiny device ops
+        # (over a TPU tunnel when the CPU override is absent).
+        rows = []
         with open(path) as f:
             for line in f:
                 line = line.strip()
                 if not line or line.startswith("#"):
                     continue
-                v = [float(x) for x in line.split(",")[:8]]
-                ts = v[0] * 1e-9
-                t_wb = jnp.asarray(v[1:4])
-                R_wb = so3.from_quaternion(jnp.asarray(
-                    [v[4], v[5], v[6], v[7]]))     # wxyz
-                stamps.append(ts)
-                poses.append(SE3(R_wb, t_wb).inverse())
+                rows.append([float(x) for x in line.split(",")[:8]])
+        if not rows:
+            return None
+        v = np.asarray(rows, np.float64)
+        stamps = list(v[:, 0] * 1e-9)
+        t_wb = jnp.asarray(v[:, 1:4], jnp.float32)          # [N, 3]
+        q_wxyz = jnp.asarray(v[:, 4:8], jnp.float32)        # [N, 4]
+        R_wb = so3.from_quaternion(q_wxyz)                  # [N, 3, 3]
+        T_cw = SE3(R_wb, t_wb).inverse()
+        n = len(stamps)
+        poses = [jax.tree.map(lambda a: a[i], T_cw) for i in range(n)]
         return stamps, poses
 
     def __len__(self):
