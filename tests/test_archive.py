@@ -1,0 +1,192 @@
+"""Global-map tier (KeyframeArchive): eviction archival, archive
+relocalization, and long-range loop closing against EVICTED keyframes.
+
+The reference's Memory singleton keeps every keyframe forever
+(include/ygz/Basic/Memory.h:16-56); the TPU build's active window is a
+fixed-capacity MapState, so this tier is what makes relocalization and
+loop closing work beyond the last ~K keyframes.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ygz_slam_tpu.geometry import SE3, PinholeCamera, se3
+from ygz_slam_tpu.models import VisualOdometry, VOOptions, Status
+from ygz_slam_tpu.models import frontend as fe
+from ygz_slam_tpu.utils.synthetic import PlaneScene
+from ygz_slam_tpu.utils import np_se3
+
+CAM = PinholeCamera.create(320.0, 320.0, 160.0, 120.0)
+SHAPE = (240, 320)
+
+# Small window + fast keyframe cadence so eviction happens quickly.
+ARC_OPTS = dict(
+    init_min_disparity=15.0, kf_min_frames=4, kf_max_trans=0.03,
+    kf_max_rot=0.04, map_K=6, loop_min_frame_gap=30,
+)
+
+
+def out_and_back_trajectory(n):
+    """Sideways sweep that leaves the start view and returns to it."""
+    poses = []
+    for k in range(n):
+        t = k / max(n - 1, 1)
+        x = 1.3 * np.sin(np.pi * t)          # 0 -> 1.3 m -> 0
+        xi = jnp.asarray(
+            [x, 0.1 * np.sin(2 * np.pi * t), 0.0,
+             0.0, -0.08 * np.sin(np.pi * t), 0.0],
+            jnp.float32,
+        )
+        poses.append(se3.exp(xi))
+    return poses
+
+
+def render(poses, scene):
+    return [scene.render(T, SHAPE) for T in poses]
+
+
+def run_vo(imgs, opts=None):
+    vo = VisualOdometry(CAM, VOOptions(**(opts or ARC_OPTS)))
+    for k, img in enumerate(imgs):
+        vo.add_frame(img, timestamp=float(k))
+    return vo
+
+
+class TestEvictionArchival:
+    def test_evicted_keyframes_are_archived(self):
+        n = 60
+        scene = PlaneScene(CAM, plane_z=3.0, seed=3)
+        poses = out_and_back_trajectory(n)
+        vo = run_vo(render(poses[: n // 2], scene))  # one-way half
+        assert len(vo.server.kf_used) <= vo.o.map_K
+        assert vo.archive is not None
+        assert vo.archive.count >= 1, "no keyframe was ever archived"
+        ids = vo.archive.frame_ids()
+        assert len(set(ids.tolist())) == len(ids)
+        # Archived records must carry usable landmark snapshots.
+        view = vo.archive.device_view()
+        n_pts = int(view.pt_ok[: vo.archive.count].sum())
+        assert n_pts > 20, f"archived landmark snapshots too sparse: {n_pts}"
+        # Every archived keyframe is in the pose log (trajectory anchor).
+        for fid in ids:
+            assert int(fid) in vo.kf_pose_log
+
+    def test_archive_survives_save_load(self, tmp_path):
+        from ygz_slam_tpu.system.system import System, Sensor
+
+        n = 30
+        scene = PlaneScene(CAM, plane_z=3.0, seed=3)
+        poses = out_and_back_trajectory(60)[:n]
+        sys1 = System(camera=CAM, sensor=Sensor.MONOCULAR,
+                      options=VOOptions(**ARC_OPTS))
+        for k, img in enumerate(render(poses, scene)):
+            sys1.track_monocular(img, float(k))
+        if sys1.vo.archive.count == 0:
+            pytest.skip("no eviction happened in this short run")
+        p = str(tmp_path / "map.npz")
+        sys1.save_map(p)
+        sys2 = System(camera=CAM, sensor=Sensor.MONOCULAR,
+                      options=VOOptions(**ARC_OPTS))
+        sys2.load_map(p)
+        assert sys2.vo.archive.count == sys1.vo.archive.count
+        np.testing.assert_allclose(
+            sys2.vo.archive.poses7(), sys1.vo.archive.poses7()
+        )
+
+
+class TestArchiveRelocalization:
+    def test_relocalize_against_evicted_keyframe(self):
+        """After the camera has moved far enough that the start-of-run
+        keyframes were evicted, a query rendered at the start pose must
+        still relocalize — via the archive tier."""
+        n = 36
+        scene = PlaneScene(CAM, plane_z=3.0, seed=3)
+        # One-way sweep (t in [0, 0.5] of the out-and-back).
+        poses = out_and_back_trajectory(2 * n)[:n]
+        imgs = render(poses, scene)
+        vo = run_vo(imgs)
+        assert vo.archive.count >= 1, "need evictions for this test"
+        early_fid = int(vo.archive.frame_ids()[0])
+        # Query at an early archived pose (the VO's world frame is the
+        # first keyframe with mean depth normalized to 1, so compare
+        # against the ARCHIVED pose, not the GT pose).
+        q_pyr = fe.preprocess(imgs[max(early_fid, 2)], vo.o.n_levels)
+        feats = vo._jit_detect_free(q_pyr)
+        ra = vo._jit_reloc_arc(
+            feats.desc, feats.px, feats.valid, vo.archive.device_view()
+        )
+        assert bool(ra.success), "archive relocalization failed"
+        # Recovered camera center must be near the archived keyframe's.
+        arc_pose = vo.kf_pose_log[early_fid]
+        R, t = np_se3.params7_to_Rt(arc_pose)
+        c_arc = -R.T @ t
+        c_est = -np.asarray(ra.T_cw.R).T @ np.asarray(ra.T_cw.t)
+        err = float(np.linalg.norm(c_est - c_arc))
+        # Map units (mean depth 1); the query frame is close to but not
+        # exactly at the archived keyframe.
+        assert err < 0.15, f"reloc center error {err:.3f} map units"
+
+
+class TestArchiveLoopClosing:
+    def test_out_and_back_closes_global_loop(self):
+        """VERDICT round-1 'done' criterion: the camera leaves, more
+        keyframes than the window holds elapse, it returns — and the
+        loop closes against an EVICTED keyframe, correcting the
+        trajectory."""
+        n = 110
+        scene = PlaneScene(CAM, plane_z=3.0, seed=3)
+        poses = out_and_back_trajectory(n)
+        imgs = render(poses, scene)
+        vo = run_vo(imgs)
+        # Enough keyframes elapsed that the start was evicted.
+        assert vo.archive.count > vo.o.map_K, (
+            vo.archive.count, len(vo.server.kf_used)
+        )
+        assert vo.stats["loops_closed_global"] >= 1, (
+            "no global loop closed", dict(vo.stats)
+        )
+        # The corrected trajectory must still be metrically sane:
+        # sim3-aligned ATE over anchored (corrected) poses bounded.
+        from tests.test_vo import sim3_align_ate
+
+        entries = vo.trajectory_poses()
+        est, gt = [], []
+        for (ts, p7) in entries:
+            k = int(ts)
+            R, t = np_se3.params7_to_Rt(p7)
+            est.append(-R.T @ t)
+            Tk = poses[k]
+            gt.append(np.asarray(-(Tk.R.T @ Tk.t)))
+        ate = sim3_align_ate(np.array(est), np.array(gt))
+        assert ate < 0.10, f"post-loop ATE {ate:.4f}"
+
+    def test_loop_correction_improves_or_keeps_consistency(self):
+        """End-start consistency: after returning to the start view and
+        closing the loop, the final anchored pose must be close to the
+        starting pose (the whole point of loop closing)."""
+        n = 110
+        scene = PlaneScene(CAM, plane_z=3.0, seed=7)
+        poses = out_and_back_trajectory(n)
+        imgs = render(poses, scene)
+        vo = run_vo(imgs)
+        if vo.stats["loops_closed_global"] == 0:
+            pytest.skip("no loop closed on this seed")
+        entries = vo.trajectory_poses()
+        # GT returns to start: compare est end vs est start after the
+        # global correction, normalized by trajectory span.
+        R0, t0 = np_se3.params7_to_Rt(entries[0][1])
+        R1, t1 = np_se3.params7_to_Rt(entries[-1][1])
+        c0, c1 = -R0.T @ t0, -R1.T @ t1
+        centers = []
+        for _, p7 in entries:
+            R, t = np_se3.params7_to_Rt(p7)
+            centers.append(-R.T @ t)
+        span = float(np.ptp(np.asarray(centers)[:, 0]))
+        gap = float(np.linalg.norm(c1 - c0))
+        assert gap < 0.35 * max(span, 1e-6), (
+            f"end-start gap {gap:.3f} vs span {span:.3f}"
+        )
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q", "-x"])

@@ -55,6 +55,8 @@ class PinholeCamera(NamedTuple):
         xn: [..., 2] undistorted normalized coordinates -> distorted [..., 2].
         Mirrors Camera.h's Camera2Pixel distortion composition.
         """
+        if not self.has_distortion:   # identity, free at trace time
+            return xn
         x, y = xn[..., 0], xn[..., 1]
         r2 = x * x + y * y
         radial = 1.0 + self.k1 * r2 + self.k2 * r2 * r2
@@ -67,6 +69,8 @@ class PinholeCamera(NamedTuple):
         it stays jittable; 5 iterations matches OpenCV's undistortPoints
         accuracy regime used by the reference's UndistortPoint,
         Camera.h:97-103)."""
+        if not self.has_distortion:   # identity, free at trace time
+            return xd
         xn = xd
         for _ in range(iters):
             x, y = xn[..., 0], xn[..., 1]
@@ -78,6 +82,58 @@ class PinholeCamera(NamedTuple):
                 [(xd[..., 0] - dx) / radial, (xd[..., 1] - dy) / radial], axis=-1
             )
         return xn
+
+    @property
+    def has_distortion(self) -> bool:
+        """Host-side check (camera parameters are closure constants in
+        every jit here): True if any distortion coefficient is nonzero.
+        Lets zero-distortion cameras skip the undistort math entirely."""
+        try:
+            return bool(
+                abs(float(self.k1)) + abs(float(self.k2))
+                + abs(float(self.p1)) + abs(float(self.p2)) > 0.0
+            )
+        except Exception:  # traced (cam passed as a jit argument)
+            return True
+
+    def undistort_px(self, px: jnp.ndarray) -> jnp.ndarray:
+        """RAW (distorted-image) pixel -> ideal-pinhole pixel.
+
+        The solver-boundary conversion: every BA/triangulation/epipolar
+        residual in this framework is formed in ideal-pinhole pixels,
+        converted ONCE from raw detections — the reference equivalently
+        undistorts every BA observation via Pixel2Camera2D
+        (src/Algorithm/BA.cpp:33,47,106,204,276; Camera.h:97-103).
+        Image-sampling coordinates (patch alignment, descriptors) stay
+        raw.  Identity for zero-distortion cameras.
+        """
+        if not self.has_distortion:
+            return px
+        xn = jnp.stack(
+            [(px[..., 0] - self.cx) / self.fx,
+             (px[..., 1] - self.cy) / self.fy], axis=-1,
+        )
+        xn = self.undistort(xn)
+        return jnp.stack(
+            [self.fx * xn[..., 0] + self.cx,
+             self.fy * xn[..., 1] + self.cy], axis=-1,
+        )
+
+    def distort_px(self, px: jnp.ndarray) -> jnp.ndarray:
+        """Ideal-pinhole pixel -> RAW (distorted-image) pixel: where an
+        ideal projection actually lands on the sensor — the conversion
+        for sampling the image at a predicted landmark position."""
+        if not self.has_distortion:
+            return px
+        xn = jnp.stack(
+            [(px[..., 0] - self.cx) / self.fx,
+             (px[..., 1] - self.cy) / self.fy], axis=-1,
+        )
+        xd = self.distort(xn)
+        return jnp.stack(
+            [self.fx * xd[..., 0] + self.cx,
+             self.fy * xd[..., 1] + self.cy], axis=-1,
+        )
 
     # -- camera <-> pixel ------------------------------------------------
     def camera_to_pixel(self, pc: jnp.ndarray, distorted: bool = True) -> jnp.ndarray:

@@ -1,0 +1,163 @@
+"""KeyframeArchive: the global-map tier above the active window.
+
+The reference's `Memory` singleton retains EVERY keyframe and map
+point forever (include/ygz/Basic/Memory.h:16-56,
+src/Basic/Memory.cpp:21-52); its local-mapping window merely selects
+from that registry.  The TPU build's active window is a fixed-capacity
+MapState (XLA static shapes), so by itself the total map would equal
+the window — relocalization and loop closing could only reach the last
+~10 keyframes.
+
+This module restores the global tier: when MapServer evicts a
+keyframe, its pose, BoW vector, vocabulary nodes, descriptors, feature
+pixels and per-feature landmark world positions are appended to
+growable HOST-side arrays (appends happen at keyframe rate, never per
+frame).  Device consumers (archive relocalization, archive loop
+detection, the global pose graph) read a padded fixed-shape device
+view whose capacity grows by doubling, so jit retraces happen only
+log2(#keyframes) times over a run.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+
+
+class ArchiveView(NamedTuple):
+    """Padded device view of the archive (capacity A >= count)."""
+
+    frame_id: jnp.ndarray  # [A] int32 (-1 padding)
+    pose7: jnp.ndarray     # [A, 7] T_cw at archive/last-correction time
+    bow: jnp.ndarray       # [A, W] BoW vectors
+    nodes: jnp.ndarray     # [A, F] vocabulary gating nodes
+    desc: jnp.ndarray      # [A, F, 8] uint32 ORB descriptors
+    px: jnp.ndarray        # [A, F, 2] level-0 pixels
+    feat_valid: jnp.ndarray  # [A, F] bool
+    pt_pos: jnp.ndarray    # [A, F, 3] world position of the landmark
+                           # each feature observed at archive time
+    pt_ok: jnp.ndarray     # [A, F] bool (feature had a live landmark)
+    valid: jnp.ndarray     # [A] bool
+
+
+class KeyframeArchive:
+    """Growable host-side store of evicted keyframes (insertion order
+    == eviction order; `frame_id` gives temporal order)."""
+
+    def __init__(self, F: int, n_words: int):
+        self.F = F
+        self.W = n_words
+        self._rows: list[dict] = []
+        self._view: ArchiveView | None = None  # cache; None = dirty
+
+    @property
+    def count(self) -> int:
+        return len(self._rows)
+
+    def append(self, frame_id: int, pose7, bow, nodes, desc, px,
+               feat_valid, pt_pos, pt_ok):
+        self._rows.append(dict(
+            frame_id=int(frame_id),
+            pose7=np.asarray(pose7, np.float32).copy(),
+            bow=np.asarray(bow, np.float32).copy(),
+            nodes=np.asarray(nodes, np.int32).copy(),
+            desc=np.asarray(desc, np.uint32).copy(),
+            px=np.asarray(px, np.float32).copy(),
+            feat_valid=np.asarray(feat_valid, bool).copy(),
+            pt_pos=np.asarray(pt_pos, np.float32).copy(),
+            pt_ok=np.asarray(pt_ok, bool).copy(),
+        ))
+        self._view = None
+
+    # -- device view ----------------------------------------------------
+    def _capacity(self) -> int:
+        c = 16
+        while c < self.count:
+            c *= 2
+        return c
+
+    def device_view(self) -> ArchiveView:
+        """Padded device arrays (cached until the next append)."""
+        if self._view is not None:
+            return self._view
+        A, F, W = self._capacity(), self.F, self.W
+        n = self.count
+
+        def stack(key, shape, dtype, fill=0):
+            out = np.full((A,) + shape, fill, dtype)
+            if n:
+                out[:n] = np.stack([r[key] for r in self._rows])
+            return jnp.asarray(out)
+
+        valid = np.zeros(A, bool)
+        valid[:n] = True
+        self._view = ArchiveView(
+            frame_id=stack("frame_id", (), np.int32, -1),
+            pose7=stack("pose7", (7,), np.float32),
+            bow=stack("bow", (W,), np.float32),
+            nodes=stack("nodes", (F,), np.int32, -1),
+            desc=stack("desc", (F, 8), np.uint32),
+            px=stack("px", (F, 2), np.float32),
+            feat_valid=stack("feat_valid", (F,), bool),
+            pt_pos=stack("pt_pos", (F, 3), np.float32),
+            pt_ok=stack("pt_ok", (F,), bool),
+            valid=jnp.asarray(valid),
+        )
+        return self._view
+
+    # -- corrections ----------------------------------------------------
+    def poses7(self) -> np.ndarray:
+        """[count, 7] archived poses (host)."""
+        if not self.count:
+            return np.zeros((0, 7), np.float32)
+        return np.stack([r["pose7"] for r in self._rows])
+
+    def frame_ids(self) -> np.ndarray:
+        return np.asarray([r["frame_id"] for r in self._rows], np.int32)
+
+    def set_poses7(self, pose7: np.ndarray, reanchor: bool = True):
+        """Overwrite archived poses after a global correction.
+
+        With `reanchor`, each row's snapshotted landmark positions are
+        moved with their keyframe (p' = T_new^-1 T_old p), keeping
+        archived relocalization/loop candidates consistent with the
+        corrected world frame."""
+        from ..utils import np_se3
+
+        assert pose7.shape[0] == self.count
+        new = np.asarray(pose7, np.float32)
+        for r, p in zip(self._rows, new):
+            if reanchor and r["pt_ok"].any():
+                R_old, t_old = np_se3.params7_to_Rt(r["pose7"])
+                R_new, t_new = np_se3.params7_to_Rt(p)
+                p_cam = r["pt_pos"] @ R_old.T + t_old
+                r["pt_pos"] = (
+                    (p_cam - t_new) @ R_new
+                ).astype(np.float32)
+            r["pose7"] = p.copy()
+        self._view = None
+
+    # -- persistence (System.save_map/load_map) -------------------------
+    def state_dict(self) -> dict:
+        if not self.count:
+            return {}
+        keys = self._rows[0].keys()
+        return {
+            f"__arc_{k}": np.stack(
+                [np.asarray(r[k]) for r in self._rows]
+            ) for k in keys
+        }
+
+    def load_state_dict(self, data):
+        self._rows = []
+        self._view = None
+        if "__arc_frame_id" not in data:
+            return
+        n = data["__arc_frame_id"].shape[0]
+        keys = ["frame_id", "pose7", "bow", "nodes", "desc", "px",
+                "feat_valid", "pt_pos", "pt_ok"]
+        for i in range(n):
+            self._rows.append(
+                {k: np.asarray(data[f"__arc_{k}"][i]) for k in keys}
+            )

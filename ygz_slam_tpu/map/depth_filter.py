@@ -139,15 +139,18 @@ def update_seeds_from_frame(
     """
     H, W = cur_img.shape
     z = seeds.depth()
-    f_ref = cam.pixel_to_bearing(seeds.px, distorted=False)
+    # Raw detection -> undistorted bearing (identity when the
+    # camera has no distortion; solver-boundary convention).
+    f_ref = cam.pixel_to_bearing(seeds.px, distorted=True)
     p_ref = f_ref * (z / jnp.maximum(f_ref[:, 2], 1e-6))[:, None]
     p_cur = T_cur_ref.apply(p_ref)
-    px_mean = cam.camera_to_pixel(p_cur, distorted=False)
+    # Sampling positions on the RAW image: project WITH distortion.
+    px_mean = cam.camera_to_pixel(p_cur, distorted=True)
     # Epipolar direction in the current image around the mean depth:
     # project at mu +- sigma and take the chord direction.
     z_minus = 1.0 / jnp.maximum(seeds.mu + jnp.sqrt(seeds.sigma2), 1e-6)
     p_minus = T_cur_ref.apply(f_ref * (z_minus / jnp.maximum(f_ref[:, 2], 1e-6))[:, None])
-    px_minus = cam.camera_to_pixel(p_minus, distorted=False)
+    px_minus = cam.camera_to_pixel(p_minus, distorted=True)
     direction = px_minus - px_mean
     dn = jnp.linalg.norm(direction, axis=-1, keepdims=True)
     direction = jnp.where(dn > 1e-6, direction / jnp.maximum(dn, 1e-6),
@@ -165,7 +168,7 @@ def update_seeds_from_frame(
     # Z-depth, so convert via the bearing's z component (confusing the
     # two leaves a cos(theta) bias of several percent at the image
     # periphery).
-    f_cur = cam.pixel_to_bearing(res.xy, distorted=False)
+    f_cur = cam.pixel_to_bearing(res.xy, distorted=True)
     range_new, tri_ok = depth_from_triangulation(T_cur_ref, f_ref, f_cur)
     depth_new = range_new * f_ref[:, 2]
     ok = matched & tri_ok & (depth_new > 0.05)

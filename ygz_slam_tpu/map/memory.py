@@ -27,6 +27,11 @@ class MapServer:
         self.state = ms.empty_map(K, F, L)
         self.kf_used: list[int] = []   # slots in insertion order
         self.next_frame_id = 0
+        # Called with the slot just before its contents are
+        # invalidated; the VO uses it to archive evicted keyframes
+        # into the global tier (map/archive.py) — the reference's
+        # keep-everything Memory semantics (Basic/Memory.h:16-56).
+        self.on_evict = None
 
     # -- slot allocation ------------------------------------------------
     def alloc_kf_slot(self, current_slot: int | None = None) -> int:
@@ -45,6 +50,8 @@ class MapServer:
         return slot
 
     def evict_kf(self, slot: int):
+        if self.on_evict is not None:
+            self.on_evict(slot)
         m = self.state
         self.state = m._replace(
             kf_valid=m.kf_valid.at[slot].set(False),

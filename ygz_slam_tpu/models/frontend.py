@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from ..geometry import se3 as se3m
 from ..geometry.se3 import SE3
 from ..ops import fast, orb, pyramid as pyr
-from ..ops.align import align2d
+from ..ops.align import align2d, AlignResult
 from ..ops.warp import warp_affine_matrix, best_search_level, warp_patches
 from ..ops.interp import sample_patches, in_bounds
 from ..solvers.ba import pose_only_ba
@@ -146,38 +146,92 @@ def track_local_map(
     pt_valid,
     ref_patches,          # [L, 10, 10] warped reference patches
     patch_ok,             # [L] patch source validity
+    search_lvl=None,      # [L] int32 per-landmark search level (None=0)
     max_align_error: float = 30.0,
 ) -> TrackMapResult:
     """Track against the local map: project landmarks, refine each
-    projection with batched inverse-compositional patch alignment,
-    then pose-only BA on the survivors.
+    projection with batched inverse-compositional patch alignment AT
+    EACH LANDMARK'S BEST SEARCH LEVEL, then pose-only BA on the
+    survivors.
 
     Condenses LocalMapping::TrackLocalMap (FindCandidates :47-80 ->
     ProjectMapPoints :82-120 -> OptimizeCurrent :122-146) into one
     jitted step; Matcher::FindDirectProjection's warp happens in the
     caller (needs keyframe images), the alignment happens here.
+
+    Per-level TPU design: instead of one align2d per level (3x kernel
+    cost), the cached windows are fetched from a padded pyramid STACK
+    with a per-point level index (gather_windows_multi) and fed to the
+    single fused align2d kernel via its pregathered path — per-level
+    search at flat-level kernel cost.
     """
     H, W = cur_pyr[0].shape
     pc = T_cw_init.apply(pt_pos)
     px_proj = cam.camera_to_pixel(pc)
-    in_frustum = (
-        pt_valid
-        & (pc[:, 2] > 0.05)
-        & in_bounds(px_proj, H, W, margin=8.0)
-        & patch_ok
+    if search_lvl is None:
+        search_lvl = jnp.zeros(pt_pos.shape[0], jnp.int32)
+    lscale = 2.0 ** search_lvl.astype(px_proj.dtype)
+    px_l = px_proj / lscale[:, None]
+    # Per-point level dimensions gate the frustum test.
+    Wl = W / lscale
+    Hl = H / lscale
+    m = 8.0
+    inb_l = (
+        (px_l[:, 0] >= m) & (px_l[:, 1] >= m)
+        & (px_l[:, 0] < Wl - m) & (px_l[:, 1] < Hl - m)
     )
-    res = align2d(cur_pyr[0], ref_patches, px_proj,
-                  max_error=max_align_error)
+    in_frustum = pt_valid & (pc[:, 2] > 0.05) & inb_l & patch_ok
+    from ..ops.pallas import align2d_kernel as _ak
+
+    if _ak.on_tpu() and _ak.usable((H, W), 11) and len(cur_pyr) > 1:
+        from ..ops.pallas import align2d_fused as _af
+
+        nL = len(cur_pyr)
+        stack = jnp.zeros((nL, H, W), cur_pyr[0].dtype)
+        for l, img in enumerate(cur_pyr):
+            h, w = img.shape
+            stack = stack.at[l, :h, :w].set(img)
+        half = (_ak.PATCH - 1) / 2.0
+        px_ls = jnp.nan_to_num(px_l)
+        ox = jnp.clip(
+            jnp.floor(px_ls[:, 0] - half) - _ak.CACHE_SLACK,
+            0, Wl - _ak.CACHE_WIN,
+        ).astype(jnp.int32)
+        oy = jnp.clip(
+            jnp.floor(px_ls[:, 1] - half) - _ak.CACHE_SLACK,
+            0, Hl - _ak.CACHE_WIN,
+        ).astype(jnp.int32)
+        wins = _ak.gather_windows_multi(
+            stack, search_lvl, ox, oy, _ak.CACHE_WIN
+        )
+        pre = _af.A2DWindows(wins=wins, ox=ox, oy=oy, center=px_ls)
+        res = align2d(cur_pyr[0], ref_patches, px_ls,
+                      max_error=max_align_error, pregathered=pre)
+    else:
+        # CPU / single-level fallback: one align2d per level, combined
+        # by the per-point level assignment.
+        res = align2d(cur_pyr[0], ref_patches, px_l,
+                      max_error=max_align_error)
+        for l in range(1, len(cur_pyr)):
+            r_l = align2d(cur_pyr[l], ref_patches, px_l,
+                          max_error=max_align_error)
+            sel = search_lvl == l
+            res = AlignResult(
+                xy=jnp.where(sel[:, None], r_l.xy, res.xy),
+                converged=jnp.where(sel, r_l.converged, res.converged),
+                error=jnp.where(sel, r_l.error, res.error),
+            )
+    xy0 = res.xy * lscale[:, None]       # back to level-0 coordinates
     matched = in_frustum & res.converged
     T_opt, inlier, chi2 = pose_only_ba(
-        T_cw_init, pt_pos, res.xy, matched, cam
+        T_cw_init, pt_pos, xy0, matched, cam
     )
     return TrackMapResult(
         T_cw=T_opt,
         n_inliers=jnp.sum(inlier),
         candidate=in_frustum,
         found=inlier,
-        obs_px=res.xy,
+        obs_px=xy0,
     )
 
 
@@ -191,12 +245,22 @@ def reference_patches_for_landmarks(
     pt_valid,             # [L]
     cam,
     T_cw_cur: SE3,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+    max_level: int = 0,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Build affine-warped 10x10 reference patches for every landmark
     from its reference observation (GetWarpAffineMatrix + WarpAffine,
     Matcher.cpp:420-466), batched over the whole map.
 
-    Returns (patches [L, 10, 10], ok [L]).
+    With max_level > 0, each landmark also picks its best pyramid
+    SEARCH level in the current frame (GetBestSearchLevel,
+    Matcher.h:123-134 via FindDirectProjection, Matcher.cpp:356-417):
+    the level where the warped patch is closest to unit scale.  The
+    reference patch is warped into that level's geometry (offsets
+    scaled by 2^level before the inverse-affine map), so alignment
+    stays well-conditioned under scale change (forward motion, distant
+    revisits) instead of shedding inliers at level 0.
+
+    Returns (patches [L, 10, 10], ok [L], search_level [L] int32).
     """
     L = pt_pos.shape[0]
     K = kf_images.shape[0]
@@ -211,18 +275,20 @@ def reference_patches_for_landmarks(
     depth_ref = jnp.maximum(p_ref_cam[:, 2], 1e-3)
     T_cur_ref = T_cw_cur.compose(T_ref.inverse())      # batched [L]
     A = warp_affine_matrix(cam, px_ref, depth_ref, lvl_ref, T_cur_ref)
+    search_lvl = best_search_level(A, max_level)
     ok = (
         pt_valid & (pt_ref_feat >= 0) & (p_ref_cam[:, 2] > 1e-3)
         & jnp.isfinite(A).all(axis=(1, 2))
     )
-    # Gather each landmark's reference keyframe image patch (search
-    # level 0 for now; per-level search is a follow-up optimization).
     Ainv = jnp.linalg.inv(A + 1e-6 * jnp.eye(2))
     size = 10
     d = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
     gx, gy = jnp.meshgrid(d, d)
     offs = jnp.stack([gx, gy], axis=-1)                # [10,10,2]
-    src = jnp.einsum("lab,ijb->lija", Ainv, offs)
+    # Patch offsets live on the SEARCH level: scale to level-0 units
+    # before mapping back into the reference image.
+    lscale = (2.0 ** search_lvl.astype(jnp.float32))[:, None, None, None]
+    src = jnp.einsum("lab,lijb->lija", Ainv, offs[None] * lscale)
     coords = src + px_ref[:, None, None, :]
 
     def gather_one(img_idx, c):
@@ -231,7 +297,7 @@ def reference_patches_for_landmarks(
         return bilinear(kf_images[img_idx], c)
 
     patches = jax.vmap(gather_one)(kf_of, coords)
-    return patches, ok
+    return patches, ok, search_lvl
 
 
 def preprocess(img: jnp.ndarray, n_levels: int = 3):

@@ -32,6 +32,7 @@ from ..geometry import se3 as se3m
 from ..geometry.se3 import SE3
 from ..map import state as ms
 from ..map.memory import MapServer
+from ..map.archive import KeyframeArchive
 from ..ops.align import klt_pyramidal
 from ..solvers import initializer as init_mod
 from ..solvers import ba as bam
@@ -40,6 +41,7 @@ from . import local_mapping as lm
 from . import relocalization as reloc
 from ..map import vocabulary as voc
 from ..map import depth_filter as dfilt
+from ..utils import np_se3
 
 
 _VOCAB_CACHE = {}
@@ -130,6 +132,13 @@ class VOOptions:
     reloc_min_inliers: int = 20
     loop_closing: bool = True         # detect+close loops at keyframes
     loop_min_inliers: int = 25
+    archive_map: bool = True          # global tier above the window:
+                                      # archive evicted keyframes for
+                                      # long-range reloc + loop closing
+                                      # (Memory.h:16-56 semantics)
+    loop_min_frame_gap: int = 50      # archive loop candidates must be
+                                      # this many frames older
+    global_pg_iters: int = 25         # global pose-graph GN iterations
     vo_type: VOType = VOType.SPARSE_DIRECT   # system.vo (yaml :10)
     map_type: MapType = MapType.SPARSE       # system.map (yaml :12)
     orb_match_radius: float = 15.0    # SPARSE_ORB projection window
@@ -197,12 +206,34 @@ class VisualOdometry:
         self.frame_id = -1
         self.lost_count = 0
         self.trajectory: list[tuple[float, np.ndarray]] = []
+        # Per-run counters (the reference glogs these at every stage,
+        # SURVEY §5; exposed here as a dict + optional log lines).
+        import collections
+        self.stats = collections.Counter()
+        # Keyframe-anchored trajectory (ORB-SLAM SaveTrajectory
+        # semantics): each frame records (ts, anchor keyframe id,
+        # relative pose T_c_kf), so loop-closure corrections of
+        # keyframe poses propagate to the exported trajectory.
+        self.traj_rel: list[tuple[float, int, np.ndarray]] = []
+        self.kf_pose_log: dict[int, np.ndarray] = {}  # frame id -> pose7
+        self._last_kf_fid = -1
+        self._last_kf_pose7 = np.asarray(
+            [1, 0, 0, 0, 0, 0, 0], np.float32
+        )
         self.vocab = _shared_vocabulary() if self.o.use_vocabulary else None
         if self.vocab is not None:
             self.kf_bow = jnp.zeros(
                 (o.map_K, self.vocab.n_words), jnp.float32
             )
             self.kf_nodes = jnp.full((o.map_K, o.map_F), -1, jnp.int32)
+        self.archive = (
+            KeyframeArchive(
+                o.map_F,
+                self.vocab.n_words if self.vocab is not None else 1,
+            ) if o.archive_map else None
+        )
+        if self.archive is not None:
+            self.server.on_evict = self._archive_kf
         self._build_jits()
 
     # ------------------------------------------------------------------
@@ -245,9 +276,11 @@ class VisualOdometry:
 
         @jax.jit
         def _init(p1, p2, mask, key):
+            # Solver boundary: RANSAC H/F + reconstruction operate on
+            # ideal-pinhole pixels (identity when no distortion).
             return init_mod.initialize_two_view(
-                p1, p2, mask, cam.K, key,
-                min_good=o.init_min_inliers,
+                cam.undistort_px(p1), cam.undistort_px(p2), mask,
+                cam.K, key, min_good=o.init_min_inliers,
             )
 
         @jax.jit
@@ -268,18 +301,21 @@ class VisualOdometry:
                 prev_obs_px, z_prev, ref_mask, T_pred,
                 max_motion=o.max_alignment_motion,
             )
-            # (b) reference patches for all landmarks from keyframes.
-            patches, patch_ok = fe.reference_patches_for_landmarks(
-                kf_images, mstate.kf_pose7,
-                mstate.feat_px.reshape(-1, 2),
-                mstate.feat_level.reshape(-1),
-                mstate.pt_ref_feat, mstate.pt_pos, mstate.pt_valid,
-                cam, tr.T_cw,
+            # (b) reference patches for all landmarks from keyframes,
+            # each with its best pyramid search level.
+            patches, patch_ok, search_lvl = (
+                fe.reference_patches_for_landmarks(
+                    kf_images, mstate.kf_pose7,
+                    mstate.feat_px.reshape(-1, 2),
+                    mstate.feat_level.reshape(-1),
+                    mstate.pt_ref_feat, mstate.pt_pos, mstate.pt_valid,
+                    cam, tr.T_cw, max_level=o.n_levels - 1,
+                )
             )
             # (c) map tracking + pose-only BA.
             tm = fe.track_local_map(
                 cur_pyr, cam, tr.T_cw, mstate.pt_pos, mstate.pt_valid,
-                patches, patch_ok,
+                patches, patch_ok, search_lvl,
             )
             # (d) landmark statistics (MapPoint _cnt_visible/_cnt_found).
             mstate = mstate._replace(
@@ -406,16 +442,19 @@ class VisualOdometry:
                     kf_pyr, cur_pyr, cam, T_kf, px, depth, pmask,
                     T_pred, max_motion=o.max_alignment_motion,
                 )
-                patches, patch_ok = fe.reference_patches_for_landmarks(
-                    kf_images, mstate.kf_pose7,
-                    mstate.feat_px.reshape(-1, 2),
-                    mstate.feat_level.reshape(-1),
-                    mstate.pt_ref_feat, mstate.pt_pos, mstate.pt_valid,
-                    cam, tr.T_cw,
+                patches, patch_ok, search_lvl = (
+                    fe.reference_patches_for_landmarks(
+                        kf_images, mstate.kf_pose7,
+                        mstate.feat_px.reshape(-1, 2),
+                        mstate.feat_level.reshape(-1),
+                        mstate.pt_ref_feat, mstate.pt_pos,
+                        mstate.pt_valid, cam, tr.T_cw,
+                        max_level=o.n_levels - 1,
+                    )
                 )
                 tm = fe.track_local_map(
                     cur_pyr, cam, tr.T_cw, mstate.pt_pos,
-                    mstate.pt_valid, patches, patch_ok,
+                    mstate.pt_valid, patches, patch_ok, search_lvl,
                 )
                 mstate = mstate._replace(
                     pt_visible=mstate.pt_visible
@@ -541,9 +580,54 @@ class VisualOdometry:
                 )
                 return lp, mstate._replace(kf_pose7=pose7, pt_pos=pts)
 
+            @jax.jit
+            def _reloc_arc(q_desc, q_px, q_valid, arc):
+                return reloc.relocalize_archive(
+                    vocab, cam, q_desc, q_px, q_valid, arc,
+                    min_inliers=o.reloc_min_inliers,
+                )
+
+            @jax.jit
+            def _loop_arc(new_slot, new_fid, kf_bow, kf_nodes, mstate,
+                          arc):
+                return reloc.detect_loop_archive(
+                    vocab, cam, new_slot, new_fid,
+                    kf_bow, mstate.kf_valid, mstate.cov_weight,
+                    mstate.feat_desc.reshape(-1, 8),
+                    kf_nodes.reshape(-1),
+                    mstate.feat_px.reshape(-1, 2),
+                    mstate.feat_valid.reshape(-1),
+                    mstate.kf_pose7, arc,
+                    min_frame_gap=o.loop_min_frame_gap,
+                    min_inliers=o.loop_min_inliers,
+                )
+
+            self._jit_reloc_arc = _reloc_arc
+            self._jit_loop_arc = _loop_arc
             self._jit_kf_bow = _kf_bow
             self._jit_reloc = _reloc
             self._jit_loop = _loop
+
+        @jax.jit
+        def _arc_snapshot(mstate, slot):
+            """One-dispatch gather of an evicted keyframe's archive
+            record (pose, features, and per-feature landmark world
+            positions)."""
+            fp = mstate.feat_point[slot]
+            ptsafe = jnp.clip(fp, 0, mstate.pt_pos.shape[0] - 1)
+            ok = (
+                mstate.feat_valid[slot]
+                & (fp >= 0)
+                & mstate.pt_valid[ptsafe]
+            )
+            return (
+                mstate.kf_pose7[slot], mstate.feat_desc[slot],
+                mstate.feat_px[slot], mstate.feat_valid[slot],
+                mstate.pt_pos[ptsafe], ok,
+            )
+
+        self._jit_arc_snapshot = _arc_snapshot
+        self._jit_apply_corr = jax.jit(reloc.apply_global_correction)
 
         self._jit_detect = _detect
         self._jit_desc_check = _desc_check
@@ -594,6 +678,12 @@ class VisualOdometry:
                     self.velocity = SE3.identity()
                     self.last_kf_slot = self.server.kf_used[-1]
                     self.frames_since_kf = 0
+                    self._last_kf_fid = int(
+                        self.server.state.kf_id[self.last_kf_slot]
+                    )
+                    self._last_kf_pose7 = np.asarray(
+                        self.server.state.kf_pose7[self.last_kf_slot]
+                    )
                     res = TrackResult(Status.GOOD, r.T_cw,
                                       int(r.n_inliers))
                 elif depth is not None or right is not None:
@@ -611,9 +701,17 @@ class VisualOdometry:
         else:  # LOST
             res = self._handle_lost(pyr)
         if res.T_cw is not None:
-            self.trajectory.append(
-                (timestamp, np.asarray(res.T_cw.params7()))
-            )
+            abs7 = np.asarray(res.T_cw.params7())
+            self.trajectory.append((timestamp, abs7))
+            if res.status is Status.GOOD and self._last_kf_fid >= 0:
+                rel7 = np_se3.relative7(
+                    abs7, self._last_kf_pose7
+                ).astype(np.float32)
+                self.traj_rel.append(
+                    (timestamp, self._last_kf_fid, rel7)
+                )
+            else:
+                self.traj_rel.append((timestamp, -1, abs7))
         return res
 
     def add_frames(self, imgs, timestamps=None,
@@ -691,12 +789,30 @@ class VisualOdometry:
                 self.seeds = seeds_f
             T7_np = np.asarray(T7y[:j])
             inl_np = np.asarray(inly[:j])
+            rel7s = (
+                np_se3.relative7(
+                    T7_np, self._last_kf_pose7[None]
+                ).astype(np.float32)
+                if self._last_kf_fid >= 0 else None
+            )
             for k in range(j):
                 self.trajectory.append((ts[i + k], T7_np[k].copy()))
+                self.traj_rel.append(
+                    (ts[i + k], self._last_kf_fid, rel7s[k])
+                    if rel7s is not None
+                    else (ts[i + k], -1, T7_np[k].copy())
+                )
                 results.append(TrackResult(
                     Status.GOOD, _se3_from_params7_np(T7_np[k]),
                     int(inl_np[k])))
             i += j
+            if j < chunk and i < n:
+                # The flagged frame is KNOWN to need the per-frame path
+                # (keyframe insertion or lost handling); dispatching
+                # another chunk here would deterministically yield j=0
+                # and discard a whole chunk of device work.
+                results.append(self.add_frame(imgs[i], ts[i]))
+                i += 1
         return results
 
     # -- NOT_READY ------------------------------------------------------
@@ -962,6 +1078,7 @@ class VisualOdometry:
         """SetKeyframe (:182-218) + the synchronous mapping pass
         (LocalMapping::Run, LocalMapping.cpp:301-336)."""
         o, srv = self.o, self.server
+        self.stats["keyframes"] += 1
         L, Fcap = o.map_L, o.map_F
         mstate = srv.state
         # --- feature table: half landmark observations, half new ---
@@ -1068,13 +1185,31 @@ class VisualOdometry:
                 self.seed_kf_slot = slot
                 self.seed_feat_idx = Fl + jnp.arange(Fn, dtype=jnp.int32)
         # --- loop closing (LoopClosing placeholder, loop_closing.h) ---
-        if self.vocab is not None and o.loop_closing and len(srv.kf_used) >= 4:
-            srv.refresh_covisibility()
-            lp, new_state = self._jit_loop(
-                jnp.asarray(slot), self.kf_bow, self.kf_nodes, srv.state
-            )
-            if bool(lp.found):
-                srv.state = new_state
+        if self.vocab is not None and o.loop_closing:
+            closed = False
+            if len(srv.kf_used) >= 4:
+                srv.refresh_covisibility()
+                lp, new_state = self._jit_loop(
+                    jnp.asarray(slot), self.kf_bow, self.kf_nodes,
+                    srv.state,
+                )
+                if bool(lp.found):
+                    srv.state = new_state
+                    closed = True
+                    self.stats["loops_closed_active"] += 1
+            if (not closed and self.archive is not None
+                    and self.archive.count > 0):
+                # Long-range loops against ARCHIVED keyframes: the
+                # capability the fixed window alone cannot provide.
+                srv.refresh_covisibility()
+                lpa = self._jit_loop_arc(
+                    jnp.asarray(slot), jnp.asarray(self.frame_id),
+                    self.kf_bow, self.kf_nodes, srv.state,
+                    self.archive.device_view(),
+                )
+                if bool(lpa.found):
+                    self._close_loop_global(slot, lpa)
+                    self.stats["loops_closed_global"] += 1
         # --- mapping pass: covisibility + local BA + culling ---
         fixed = jnp.zeros(o.map_K, bool)
         oldest = self.server.kf_used[0]
@@ -1090,6 +1225,14 @@ class VisualOdometry:
         # BA-refined state.
         self.prev_T_cw = srv.state.kf_pose(slot)
         self.T_cw = self.prev_T_cw
+        # Refresh the host-side keyframe pose log (trajectory
+        # anchoring) with the BA/loop-refined active poses.
+        pose7_np = np.asarray(srv.state.kf_pose7)
+        id_np = np.asarray(srv.state.kf_id)
+        for s in srv.kf_used:
+            self.kf_pose_log[int(id_np[s])] = pose7_np[s].copy()
+        self._last_kf_fid = int(id_np[slot])
+        self._last_kf_pose7 = pose7_np[slot].copy()
 
     # -- semi-dense / dense map maintenance ------------------------------
     def _mean_map_depth(self, slot) -> float:
@@ -1265,6 +1408,79 @@ class VisualOdometry:
             self.reset()
         return TrackResult(Status.LOST, self.T_cw)
 
+    def _archive_kf(self, slot: int):
+        """MapServer eviction hook: snapshot the keyframe into the
+        global archive tier BEFORE its window slot is invalidated
+        (restores the reference Memory singleton's keep-everything
+        semantics, Basic/Memory.h:16-56, for relocalization and loop
+        closing beyond the active window)."""
+        m = self.server.state
+        fid = int(m.kf_id[slot])
+        if fid < 0 or self.archive is None:
+            return
+        pose7, desc, px, fvalid, pt_pos, pt_ok = (
+            np.asarray(a) for a in self._jit_arc_snapshot(
+                m, jnp.asarray(slot)
+            )
+        )
+        if self.vocab is not None:
+            bow = np.asarray(self.kf_bow[slot])
+            nodes = np.asarray(self.kf_nodes[slot])
+        else:
+            bow = np.zeros(1, np.float32)
+            nodes = np.full(self.o.map_F, -1, np.int32)
+        self.archive.append(
+            fid, pose7, bow, nodes, desc, px, fvalid, pt_pos, pt_ok
+        )
+        self.kf_pose_log[fid] = pose7.copy()
+        self.stats["keyframes_archived"] += 1
+
+    def _close_loop_global(self, slot: int, lp):
+        """Apply a verified archive loop: pose-graph over the FULL
+        trajectory (archived + active keyframes), then correct active
+        poses + landmarks and archived poses + snapshotted points."""
+        srv, o = self.server, self.o
+        st = srv.state
+        act_slots = list(srv.kf_used)
+        pose7_np = np.asarray(st.kf_pose7)
+        id_np = np.asarray(st.kf_id)
+        cov_np = np.asarray(st.cov_weight)
+        act_pose7 = pose7_np[act_slots]
+        act_ids = id_np[act_slots]
+        act_cov = cov_np[np.ix_(act_slots, act_slots)]
+        arc_new, act_new, _chi2 = reloc.close_loop_global(
+            self.archive.poses7(), self.archive.frame_ids(),
+            act_pose7, act_ids, act_cov,
+            int(lp.loop_kf), act_slots.index(slot),
+            np.asarray(lp.T_loop7), n_iter=o.global_pg_iters,
+        )
+        self.archive.set_poses7(arc_new)
+        new7 = pose7_np.copy()
+        new7[act_slots] = act_new
+        srv.state = self._jit_apply_corr(st, jnp.asarray(new7))
+        for fid, p in zip(self.archive.frame_ids(), arc_new):
+            self.kf_pose_log[int(fid)] = np.asarray(p, np.float32)
+        for fid, p in zip(act_ids, act_new):
+            self.kf_pose_log[int(fid)] = np.asarray(p, np.float32)
+
+    def trajectory_poses(self) -> list[tuple[float, np.ndarray]]:
+        """Trajectory with loop-closure corrections applied: each frame
+        pose re-composed from its anchor keyframe's CURRENT (corrected)
+        pose and the stored relative transform — the standard
+        SaveTrajectory construction, which the pose graph retroactively
+        improves."""
+        out: list[tuple[float, np.ndarray]] = []
+        for (ts, abs7), (_, fid, rel7) in zip(
+            self.trajectory, self.traj_rel
+        ):
+            if fid >= 0 and fid in self.kf_pose_log:
+                out.append((ts, np_se3.compose7(
+                    rel7, self.kf_pose_log[fid]
+                ).astype(np.float32)))
+            else:
+                out.append((ts, abs7))
+        return out
+
     def _store_bow(self, slot, feat_desc, feat_valid):
         """Frame::ComputeBoW equivalent at keyframe registration
         (src/Basic/Frame.cpp:190-201)."""
@@ -1284,9 +1500,19 @@ class VisualOdometry:
             feats.desc, feats.px, feats.valid,
             self.kf_bow, self.kf_nodes, self.server.state,
         )
-        if not bool(r.success):
-            return None
-        return r
+        if bool(r.success):
+            return r
+        if self.archive is not None and self.archive.count > 0:
+            # Cascade to the global tier: archived keyframes the
+            # active window can no longer reach.
+            ra = self._jit_reloc_arc(
+                feats.desc, feats.px, feats.valid,
+                self.archive.device_view(),
+            )
+            if bool(ra.success):
+                self.stats["relocs_archive"] += 1
+                return ra
+        return None
 
     def reset(self):
         """Full reset (System::Reset surface)."""
@@ -1305,6 +1531,17 @@ class VisualOdometry:
         self.sd = None
         self.semidense_cloud = []
         self.dense_cloud = []
+        self._last_kf_fid = -1
+        if self.archive is not None:
+            # The new map has a fresh world frame; stale archived
+            # geometry would relocalize into the old one.  (Past
+            # kf_pose_log entries stay: they finalize the anchored
+            # trajectory of pre-reset frames.)
+            self.archive = KeyframeArchive(
+                self.o.map_F,
+                self.vocab.n_words if self.vocab is not None else 1,
+            )
+            self.server.on_evict = self._archive_kf
         if self.vocab is not None:
             self.kf_bow = jnp.zeros_like(self.kf_bow)
             self.kf_nodes = jnp.full_like(self.kf_nodes, -1)

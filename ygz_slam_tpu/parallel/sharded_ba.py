@@ -122,6 +122,11 @@ def sharded_local_ba(
 
     Returns (poses, points, chi2) with the same sharding as inputs.
     """
+    # Solver boundary: raw pixel observations -> ideal-pinhole pixels
+    # (identity for zero-distortion cameras); the residual below then
+    # projects with distorted=False exactly (solvers/ba.reproject's
+    # convention; reference BA.cpp:33,47,106 via Pixel2Camera2D).
+    obs = obs._replace(px=cam.undistort_px(obs.px))
     # TPU MXU f32 contractions round through bf16 at default precision;
     # the 6x6/3x3 Hessian blocks and the Schur reduction lose enough
     # bits that BA converges visibly worse (bench_scaling's pose gate

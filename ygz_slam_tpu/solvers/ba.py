@@ -54,6 +54,14 @@ def reproject(poses: SE3, points: jnp.ndarray, obs: Observations, cam):
     r = projection - measurement; observations whose point falls behind
     the camera are masked invalid (the reference drops them via
     cheirality checks).
+
+    COORDINATE CONVENTION: obs.px must be IDEAL-PINHOLE pixels.  Every
+    public BA entry point undistorts raw detections once at its
+    boundary (cam.undistort_px) — the reference equivalently converts
+    every BA observation through Pixel2Camera2D
+    (src/Algorithm/BA.cpp:33,47,106,204,276).  Projecting with
+    distorted=False against those is then exact for any camera, and
+    the analytic ideal-pinhole Jacobians stay valid.
     """
     T = jax.tree.map(lambda a: a[obs.kf_idx], poses)  # SE3 batched [O]
     pw = points[obs.pt_idx]
@@ -102,6 +110,9 @@ def pose_only_ba(
     Returns:
       (optimized pose, inlier mask [N], final chi2 scalar).
     """
+    # Solver boundary: raw detections -> ideal-pinhole pixels (identity
+    # for zero-distortion cameras; see reproject's convention note).
+    px = cam.undistort_px(px)
     # TPU fast path: the whole 4-round solve as ONE Pallas kernel —
     # ~40 serial GN iterations cost launch/dependency latency as a
     # chain of small XLA ops (see ops/pallas/pose_ba_fused.py).
@@ -202,6 +213,7 @@ def point_only_ba(
     segment sums.  Traced at full f32 matmul precision (TPU MXU
     defaults round through bf16; see local_ba).
     """
+    obs = obs._replace(px=cam.undistort_px(obs.px))  # solver boundary
     L = points.shape[0]
 
     def step(pts, _):
@@ -322,6 +334,7 @@ def local_ba(
     fixed_pose: [K] bool — gauge-fixed cameras (the reference fixes the
     first/oldest keyframe, BA.cpp:341,417).
     """
+    obs = obs._replace(px=cam.undistort_px(obs.px))  # solver boundary
     # TPU MXU f32 contractions round through bf16 at default precision,
     # which visibly degrades the Hessian blocks / Schur reduction (see
     # parallel.sharded_ba).  Trace the BA math at full f32.

@@ -110,8 +110,11 @@ class System:
 
     # -- persistence (system.h:63-67 — unimplemented there) -------------
     def save_trajectory(self, path: str):
-        stamps = [t for t, _ in self.vo.trajectory]
-        poses = [p for _, p in self.vo.trajectory]
+        """TUM-format trajectory with loop-closure corrections applied
+        (each frame re-anchored to its keyframe's corrected pose)."""
+        entries = self.vo.trajectory_poses()
+        stamps = [t for t, _ in entries]
+        poses = [p for _, p in entries]
         traj.save_tum(path, stamps, poses)
 
     def export_point_cloud(self) -> np.ndarray:
@@ -139,6 +142,8 @@ class System:
             arrays["__aux_cloud"] = np.concatenate(
                 self.vo.semidense_cloud + self.vo.dense_cloud, axis=0
             )
+        if self.vo.archive is not None and self.vo.archive.count:
+            arrays.update(self.vo.archive.state_dict())
         np.savez_compressed(path, **arrays)
 
     def load_map(self, path: str):
@@ -158,3 +163,14 @@ class System:
             self.vo.kf_nodes = jnp.asarray(data["__kf_nodes"])
         if "__aux_cloud" in data:
             self.vo.semidense_cloud = [np.asarray(data["__aux_cloud"])]
+        if self.vo.archive is not None:
+            self.vo.archive.load_state_dict(data)
+        # Rebuild the keyframe pose log for trajectory anchoring.
+        id_np = np.asarray(self.vo.server.state.kf_id)
+        pose_np = np.asarray(self.vo.server.state.kf_pose7)
+        for s in self.vo.server.kf_used:
+            self.vo.kf_pose_log[int(id_np[s])] = pose_np[s].copy()
+        if self.vo.archive is not None and self.vo.archive.count:
+            for fid, p in zip(self.vo.archive.frame_ids(),
+                              self.vo.archive.poses7()):
+                self.vo.kf_pose_log[int(fid)] = np.asarray(p)

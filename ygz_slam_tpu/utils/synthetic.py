@@ -57,7 +57,11 @@ class PlaneScene:
     def world_from_pixel(self, px: jnp.ndarray, T_cw: SE3) -> jnp.ndarray:
         """Intersect pixel rays with the plane -> world points [..., 3]."""
         T_wc = T_cw.inverse()
-        bearing_c = self.cam.pixel_to_camera(px, 1.0, distorted=False)
+        # distorted=True: a RAW pixel looks along its undistorted ray,
+        # so scenes rendered with a distorted camera model are
+        # physically correct distorted images (identity for
+        # zero-distortion cameras — the has_distortion short-circuit).
+        bearing_c = self.cam.pixel_to_camera(px, 1.0, distorted=True)
         d_w = jnp.einsum("ij,...j->...i", T_wc.R, bearing_c)
         o_w = T_wc.t
         t = (self.plane_z - o_w[2]) / jnp.where(
@@ -84,4 +88,4 @@ class PlaneScene:
     def project_to(self, px_a: jnp.ndarray, T_a: SE3, T_b: SE3) -> jnp.ndarray:
         """Ground-truth correspondence: pixels in view a -> pixels in b."""
         w = self.world_from_pixel(px_a, T_a)
-        return self.cam.world_to_pixel(w, T_b, distorted=False)
+        return self.cam.world_to_pixel(w, T_b, distorted=True)
