@@ -205,6 +205,7 @@ class VisualOdometry:
         self.last_kf_slot = -1
         self.frame_id = -1
         self.lost_count = 0
+        self.init_used_h = None   # which RANSAC model bootstrapped
         self.trajectory: list[tuple[float, np.ndarray]] = []
         # Per-run counters (the reference glogs these at every stage,
         # SURVEY §5; exposed here as a dict + optional log lines).
@@ -924,6 +925,12 @@ class VisualOdometry:
         )
         if not bool(out.success):
             return TrackResult(Status.INITING, SE3.identity())
+        # Which RANSAC model bootstrapped the map (rh > 0.4 -> H,
+        # else F/E; Initializer.cpp:65-80) — observable for tests and
+        # run diagnostics.
+        self.init_used_h = bool(out.used_h)
+        self.stats["init_model_h" if self.init_used_h
+                   else "init_model_f"] += 1
         # Two-view BA + rescale to mean depth 1 (:148-151, :261-275).
         res = self._jit_two_view_ba(
             SE3.identity(), out.T21, out.points3d,

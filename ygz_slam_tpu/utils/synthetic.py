@@ -89,3 +89,71 @@ class PlaneScene:
         """Ground-truth correspondence: pixels in view a -> pixels in b."""
         w = self.world_from_pixel(px_a, T_a)
         return self.cam.world_to_pixel(w, T_b, distorted=True)
+
+
+class TwoPlaneScene:
+    """Non-planar world: a NEAR plane (z = z_near, world x < x_split)
+    occluding a FAR plane (z = z_far, everywhere) — a depth
+    discontinuity whose occlusion boundary moves with the camera.
+
+    Purpose: the planar PlaneScene makes in-pipeline initialization
+    always take the homography path; this scene exercises the F/E
+    model selection (rh <= 0.4), parallax across a depth step, and
+    tracking through occlusion — matching the reference's planar vs
+    non-planar simulation fixtures (test/test_initializer.cpp:9-80).
+    """
+
+    def __init__(self, cam, z_near: float = 2.0, z_far: float = 4.5,
+                 x_split: float = 0.15, tex_size: int = 1024,
+                 tex_per_meter: float = 110.0, seed: int = 0):
+        self.cam = cam
+        self.z_near = z_near
+        self.z_far = z_far
+        self.x_split = x_split
+        self.tex = make_texture(tex_size, seed)
+        # Distinct texture for the far plane (offset sampling of a
+        # second noise draw) so the two surfaces are visually distinct.
+        self.tex_far = make_texture(tex_size, seed + 7919)
+        self.tex_per_meter = tex_per_meter
+        self.tex_size = tex_size
+
+    def _hits(self, px: jnp.ndarray, T_cw: SE3):
+        T_wc = T_cw.inverse()
+        bearing_c = self.cam.pixel_to_camera(px, 1.0, distorted=True)
+        d_w = jnp.einsum("ij,...j->...i", T_wc.R, bearing_c)
+        o_w = T_wc.t
+        dz = jnp.where(jnp.abs(d_w[..., 2]) < 1e-9, 1e-9, d_w[..., 2])
+        t_near = (self.z_near - o_w[2]) / dz
+        t_far = (self.z_far - o_w[2]) / dz
+        h_near = o_w + t_near[..., None] * d_w
+        h_far = o_w + t_far[..., None] * d_w
+        near_ok = (t_near > 0) & (h_near[..., 0] < self.x_split)
+        return h_near, h_far, near_ok
+
+    def world_from_pixel(self, px: jnp.ndarray, T_cw: SE3) -> jnp.ndarray:
+        h_near, h_far, near_ok = self._hits(px, T_cw)
+        return jnp.where(near_ok[..., None], h_near, h_far)
+
+    def render(self, T_cw: SE3, shape: tuple[int, int]) -> jnp.ndarray:
+        H, W = shape
+        u, v = jnp.meshgrid(jnp.arange(W, dtype=jnp.float32),
+                            jnp.arange(H, dtype=jnp.float32))
+        px = jnp.stack([u, v], axis=-1)
+        h_near, h_far, near_ok = self._hits(px, T_cw)
+
+        def tex_at(tex, pts):
+            tx = pts[..., 0] * self.tex_per_meter + self.tex_size / 2
+            ty = pts[..., 1] * self.tex_per_meter + self.tex_size / 2
+            return bilinear(tex, jnp.stack([tx, ty], axis=-1))
+
+        return jnp.where(
+            near_ok, tex_at(self.tex, h_near), tex_at(self.tex_far, h_far)
+        )
+
+    def depth(self, px: jnp.ndarray, T_cw: SE3) -> jnp.ndarray:
+        w = self.world_from_pixel(px, T_cw)
+        return T_cw.apply(w)[..., 2]
+
+    def project_to(self, px_a: jnp.ndarray, T_a: SE3, T_b: SE3) -> jnp.ndarray:
+        w = self.world_from_pixel(px_a, T_a)
+        return self.cam.world_to_pixel(w, T_b, distorted=True)
