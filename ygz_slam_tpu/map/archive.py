@@ -138,6 +138,17 @@ class KeyframeArchive:
             r["pose7"] = p.copy()
         self._view = None
 
+    def recompute_bow(self, fn, n_words: int):
+        """Recompute every archived row's BoW vector + node table under
+        a NEW vocabulary (after VisualOdometry.refresh_vocabulary).
+        fn: (desc [F,8], valid [F]) -> (bow [W'], nodes [F])."""
+        self.W = n_words
+        for r in self._rows:
+            bow, nodes = fn(r["desc"], r["feat_valid"])
+            r["bow"] = np.asarray(bow, np.float32)
+            r["nodes"] = np.asarray(nodes, np.int32)
+        self._view = None
+
     # -- persistence (System.save_map/load_map) -------------------------
     def state_dict(self) -> dict:
         if not self.count:

@@ -130,6 +130,36 @@ def train(
     return vocab._replace(weights=jnp.asarray(idf))
 
 
+def state_dict(vocab: Vocabulary) -> dict:
+    """Serializable arrays for a vocabulary (DBoW3 persists its vocab
+    as ORBvoc.bin; here it embeds in the map npz or a standalone
+    file)."""
+    d = {f"nodes_{i}": np.asarray(n) for i, n in enumerate(vocab.nodes)}
+    d["weights"] = np.asarray(vocab.weights)
+    d["meta"] = np.asarray([vocab.k, vocab.depth], np.int32)
+    return d
+
+
+def from_state_dict(d, prefix: str = "") -> Vocabulary:
+    k, depth = (int(x) for x in d[prefix + "meta"])
+    nodes = tuple(
+        jnp.asarray(d[f"{prefix}nodes_{i}"]) for i in range(depth)
+    )
+    return Vocabulary(
+        nodes=nodes, weights=jnp.asarray(d[prefix + "weights"]),
+        k=k, depth=depth,
+    )
+
+
+def save(vocab: Vocabulary, path: str) -> None:
+    np.savez_compressed(path, **state_dict(vocab))
+
+
+def load(path: str) -> Vocabulary:
+    with np.load(path) as data:
+        return from_state_dict(dict(data))
+
+
 def transform(
     vocab: Vocabulary, desc: jnp.ndarray, mask: jnp.ndarray,
     node_level: int = 0,

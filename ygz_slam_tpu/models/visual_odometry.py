@@ -1488,6 +1488,68 @@ class VisualOdometry:
                 out.append((ts, abs7))
         return out
 
+    def set_vocabulary(self, vocab, recompute: bool = True):
+        """Swap in a new BoW vocabulary (loaded from a saved map or
+        retrained): rebuilds the jit closures (they capture the vocab
+        tables) and, with `recompute`, regenerates every stored BoW
+        vector/node table — active window AND archive — so matching
+        stays consistent."""
+        self.vocab = vocab
+        o = self.o
+        self._build_jits()
+        if not recompute:
+            self.kf_bow = jnp.zeros(
+                (o.map_K, vocab.n_words), jnp.float32
+            )
+            self.kf_nodes = jnp.full((o.map_K, o.map_F), -1, jnp.int32)
+            return
+        m = self.server.state
+        bow_all, nodes_all = jax.jit(jax.vmap(self._jit_kf_bow))(
+            m.feat_desc, m.feat_valid & m.kf_valid[:, None]
+        )
+        self.kf_bow = jnp.where(
+            m.kf_valid[:, None], bow_all,
+            jnp.zeros((o.map_K, vocab.n_words), jnp.float32),
+        )
+        self.kf_nodes = jnp.where(m.kf_valid[:, None], nodes_all, -1)
+        if self.archive is not None and self.archive.count:
+            fn = self._jit_kf_bow
+            self.archive.recompute_bow(
+                lambda d, v: fn(jnp.asarray(d), jnp.asarray(v)),
+                vocab.n_words,
+            )
+
+    def refresh_vocabulary(self, k: int | None = None,
+                           depth: int | None = None,
+                           min_descriptors: int = 200) -> bool:
+        """Retrain the vocabulary from THIS run's accumulated keyframe
+        descriptors (active window + archive) — replacing the
+        synthetic-texture bootstrap words with scene-adapted ones (the
+        discrimination role of DBoW3's large pretrained ORBvoc,
+        SURVEY §2.3, which is a missing blob in the reference tree).
+        Returns False when too few descriptors have accumulated."""
+        if self.vocab is None:
+            return False
+        m = self.server.state
+        descs = [np.asarray(m.feat_desc.reshape(-1, 8))[
+            np.asarray((m.feat_valid & m.kf_valid[:, None]).reshape(-1))
+        ]]
+        if self.archive is not None:
+            for r in self.archive._rows:
+                descs.append(r["desc"][r["feat_valid"]])
+        all_desc = np.concatenate(descs, axis=0)
+        if all_desc.shape[0] < min_descriptors:
+            return False
+        new = voc.train(
+            all_desc,
+            k=k or self.vocab.k,
+            depth=depth or self.vocab.depth,
+            iters=4,
+        )
+        self.set_vocabulary(new, recompute=True)
+        self.stats["vocab_refreshes"] += 1
+        return True
+
     def _store_bow(self, slot, feat_desc, feat_valid):
         """Frame::ComputeBoW equivalent at keyframe registration
         (src/Basic/Frame.cpp:190-201)."""

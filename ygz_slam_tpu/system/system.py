@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from ..geometry.se3 import SE3
 from ..map import state as ms
+from ..map import vocabulary as voc
 from ..models.visual_odometry import (
     VisualOdometry, VOOptions, Status, VOType, MapType,
 )
@@ -138,6 +139,12 @@ class System:
         if self.vo.vocab is not None:
             arrays["__kf_bow"] = np.asarray(self.vo.kf_bow)
             arrays["__kf_nodes"] = np.asarray(self.vo.kf_nodes)
+            # The vocabulary itself (nodes/weights/meta): a loaded map
+            # must relocalize in ANY process, not just one whose
+            # in-process bootstrap vocab happens to match (the role of
+            # DBoW3's persisted ORBvoc.bin).
+            for key, arr in voc.state_dict(self.vo.vocab).items():
+                arrays[f"__vocab_{key}"] = arr
         if self.vo.semidense_cloud or self.vo.dense_cloud:
             arrays["__aux_cloud"] = np.concatenate(
                 self.vo.semidense_cloud + self.vo.dense_cloud, axis=0
@@ -158,6 +165,13 @@ class System:
         self.vo.server.next_frame_id = int(data["__next_frame_id"][0])
         if "__kf_images" in data:
             self.vo.kf_images = jnp.asarray(data["__kf_images"])
+        if "__vocab_meta" in data and self.vo.vocab is not None:
+            # Restore the SAVED vocabulary (jit closures rebuilt); the
+            # saved BoW vectors/nodes below were computed under it.
+            self.vo.set_vocabulary(
+                voc.from_state_dict(data, prefix="__vocab_"),
+                recompute=False,
+            )
         if "__kf_bow" in data and self.vo.vocab is not None:
             self.vo.kf_bow = jnp.asarray(data["__kf_bow"])
             self.vo.kf_nodes = jnp.asarray(data["__kf_nodes"])
