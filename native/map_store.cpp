@@ -11,6 +11,7 @@
 // Exposed with a plain C ABI for ctypes (no pybind11 in this image).
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <algorithm>
 #include <vector>
@@ -128,6 +129,58 @@ void ms_kf_redundancy(const int32_t* feat_point, const uint8_t* feat_valid,
     }
     out[k] = linked > 0 ? (float)redundant / (float)linked : 0.f;
   }
+}
+
+// Scale-aware keyframe-redundancy scores: an observation of landmark
+// p at pyramid level l only counts as redundant when >= min_obs
+// keyframes observe p at a FINER-OR-EQUAL level (the reference's
+// scaleLeveli <= scaleLevel + 1 refinement inside KeyFrameCulling,
+// LocalMapping.cpp:592-607 — a coarse observation is not made
+// redundant by even coarser ones).
+// feat_level: [K*F] per-feature detection levels.
+void ms_kf_redundancy_scale(const int32_t* feat_point,
+                            const uint8_t* feat_valid,
+                            const int32_t* feat_level,
+                            int32_t K, int32_t F, int32_t L,
+                            int32_t min_obs, float* out) {
+  const int32_t MAXLVL = 8;
+  // counts[p * MAXLVL + l] = observations of p at exactly level l.
+  int32_t* counts = (int32_t*)calloc((size_t)L * MAXLVL, sizeof(int32_t));
+  if (!counts) {
+    for (int32_t k = 0; k < K; ++k) out[k] = 0.f;
+    return;
+  }
+  for (int32_t k = 0; k < K; ++k) {
+    for (int32_t f = 0; f < F; ++f) {
+      int64_t i = (int64_t)k * F + f;
+      int32_t p = feat_point[i];
+      if (!feat_valid[i] || p < 0 || p >= L) continue;
+      int32_t l = feat_level[i];
+      if (l < 0) l = 0;
+      if (l >= MAXLVL) l = MAXLVL - 1;
+      counts[(int64_t)p * MAXLVL + l]++;
+    }
+  }
+  // Prefix over level: counts[p][l] -> observations at level <= l.
+  for (int32_t p = 0; p < L; ++p)
+    for (int32_t l = 1; l < MAXLVL; ++l)
+      counts[(int64_t)p * MAXLVL + l] += counts[(int64_t)p * MAXLVL + l - 1];
+  // The reference allows one level of slack (scaleLevel + 1).
+  for (int32_t k = 0; k < K; ++k) {
+    int32_t linked = 0, redundant = 0;
+    for (int32_t f = 0; f < F; ++f) {
+      int64_t i = (int64_t)k * F + f;
+      int32_t p = feat_point[i];
+      if (!feat_valid[i] || p < 0 || p >= L) continue;
+      linked++;
+      int32_t l = feat_level[i] + 1;  // finer-or-equal with +1 slack
+      if (l < 0) l = 0;
+      if (l >= MAXLVL) l = MAXLVL - 1;
+      if (counts[(int64_t)p * MAXLVL + l] >= min_obs) redundant++;
+    }
+    out[k] = linked > 0 ? (float)redundant / (float)linked : 0.f;
+  }
+  free(counts);
 }
 
 }  // extern "C"

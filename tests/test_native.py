@@ -68,3 +68,46 @@ class TestNative:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+class TestScaleAwareRedundancy:
+    def test_finer_or_equal_level_rule(self):
+        """A fine-level observation is NOT redundant when the other
+        observers are coarser; a coarse observation IS when they are
+        finer (LocalMapping.cpp:592-607 with +1 level slack)."""
+        import numpy as np
+        from ygz_slam_tpu import native
+
+        K, F, L = 4, 4, 8
+        fp = np.full((K, F), -1, np.int32)
+        fv = np.zeros((K, F), np.uint8)
+        fl = np.zeros((K, F), np.int32)
+        for k in range(4):
+            fp[k, 0] = 0; fv[k, 0] = 1; fl[k, 0] = 2 if k == 0 else 0
+            fp[k, 1] = 1; fv[k, 1] = 1; fl[k, 1] = 0 if k == 0 else 2
+        out = native.kf_redundancy_scale(fp, fv, fl, L=L, min_obs=4)
+        # KF0: lm0 at level 2 (others finer -> redundant), lm1 at
+        # level 0 (others coarser -> kept) => score 0.5.
+        np.testing.assert_allclose(out, 0.5, atol=1e-6)
+        # Old level-blind rule would call everything redundant.
+        pt_obs = np.zeros(L, np.int32); pt_obs[:2] = 4
+        old = native.kf_redundancy(fp, fv, pt_obs, min_obs=4)
+        np.testing.assert_allclose(old, 1.0, atol=1e-6)
+
+    def test_numpy_fallback_parity(self):
+        import numpy as np
+        import ygz_slam_tpu.native as nat
+
+        rng = np.random.default_rng(0)
+        K, F, L = 6, 32, 64
+        fp = rng.integers(-1, L, (K, F)).astype(np.int32)
+        fv = (rng.random((K, F)) < 0.8).astype(np.uint8)
+        fl = rng.integers(0, 3, (K, F)).astype(np.int32)
+        a = nat.kf_redundancy_scale(fp, fv, fl, L=L, min_obs=3)
+        lib = nat._LIB
+        nat._LIB = None
+        try:
+            b = nat.kf_redundancy_scale(fp, fv, fl, L=L, min_obs=3)
+        finally:
+            nat._LIB = lib
+        np.testing.assert_allclose(a, b, atol=1e-6)

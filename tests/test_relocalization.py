@@ -84,7 +84,7 @@ class TestRelocalization:
             __import__("ygz_slam_tpu.models.frontend", fromlist=["fe"]).preprocess(img, 3)
         )
         r = vo._jit_reloc(
-            feats.desc, feats.px, feats.valid,
+            feats.desc, feats.px, feats.valid, feats.angle,
             vo.kf_bow, vo.kf_nodes, vo.server.state,
         )
         assert bool(r.success), int(r.n_inliers)

@@ -34,6 +34,7 @@ class ArchiveView(NamedTuple):
     nodes: jnp.ndarray     # [A, F] vocabulary gating nodes
     desc: jnp.ndarray      # [A, F, 8] uint32 ORB descriptors
     px: jnp.ndarray        # [A, F, 2] level-0 pixels
+    angle: jnp.ndarray     # [A, F] ORB angles (rotation-gate input)
     feat_valid: jnp.ndarray  # [A, F] bool
     pt_pos: jnp.ndarray    # [A, F, 3] world position of the landmark
                            # each feature observed at archive time
@@ -56,7 +57,9 @@ class KeyframeArchive:
         return len(self._rows)
 
     def append(self, frame_id: int, pose7, bow, nodes, desc, px,
-               feat_valid, pt_pos, pt_ok):
+               feat_valid, pt_pos, pt_ok, angle=None):
+        if angle is None:
+            angle = np.zeros(np.asarray(px).shape[0], np.float32)
         self._rows.append(dict(
             frame_id=int(frame_id),
             pose7=np.asarray(pose7, np.float32).copy(),
@@ -64,6 +67,7 @@ class KeyframeArchive:
             nodes=np.asarray(nodes, np.int32).copy(),
             desc=np.asarray(desc, np.uint32).copy(),
             px=np.asarray(px, np.float32).copy(),
+            angle=np.asarray(angle, np.float32).copy(),
             feat_valid=np.asarray(feat_valid, bool).copy(),
             pt_pos=np.asarray(pt_pos, np.float32).copy(),
             pt_ok=np.asarray(pt_ok, bool).copy(),
@@ -99,6 +103,7 @@ class KeyframeArchive:
             nodes=stack("nodes", (F,), np.int32, -1),
             desc=stack("desc", (F, 8), np.uint32),
             px=stack("px", (F, 2), np.float32),
+            angle=stack("angle", (F,), np.float32),
             feat_valid=stack("feat_valid", (F,), bool),
             pt_pos=stack("pt_pos", (F, 3), np.float32),
             pt_ok=stack("pt_ok", (F,), bool),
@@ -167,8 +172,12 @@ class KeyframeArchive:
             return
         n = data["__arc_frame_id"].shape[0]
         keys = ["frame_id", "pose7", "bow", "nodes", "desc", "px",
-                "feat_valid", "pt_pos", "pt_ok"]
+                "feat_valid", "pt_pos", "pt_ok", "angle"]
         for i in range(n):
-            self._rows.append(
-                {k: np.asarray(data[f"__arc_{k}"][i]) for k in keys}
-            )
+            row = {}
+            for k in keys:
+                if f"__arc_{k}" in data:
+                    row[k] = np.asarray(data[f"__arc_{k}"][i])
+                elif k == "angle":   # maps saved before the field
+                    row[k] = np.zeros(self.F, np.float32)
+            self._rows.append(row)

@@ -31,6 +31,7 @@ def match_new_features_for_triangulation(
     max_dist: int = 50,
     epipolar_sigma: float = 1.5,
     min_parallax_cos: float = 0.9998,
+    angle_new=None, angle_ref=None,
 ):
     """Descriptor-match unlinked features of a new keyframe against a
     neighbor keyframe, gate by the known epipolar geometry, and
@@ -46,6 +47,14 @@ def match_new_features_for_triangulation(
         ratio=0.9,
     )
     idx_safe = jnp.clip(idx, 0, px_ref.shape[0] - 1)
+    if angle_new is not None and angle_ref is not None:
+        # Rotation-histogram consistency (the gate the reference
+        # applies inside SearchForTriangulation, Matcher.cpp:294-336):
+        # matches whose ORB-angle delta is off the dominant modes are
+        # mismatches even when descriptors agree.
+        ok = hamming.rotation_consistency(
+            angle_new, angle_ref[idx_safe], ok
+        )
     p_ref = px_ref[idx_safe]
     # Epipolar check from known poses: distance of ref match to the
     # epipolar line of the new feature (CheckDistEpipolarLine,

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry.se3 import SE3
-from ..ops.hamming import distance_matrix
+from ..ops.hamming import distance_matrix, rotation_consistency
 from ..ops.interp import in_bounds
 from ..solvers.ba import pose_only_ba
 from .frontend import Features, TrackMapResult
@@ -41,6 +41,10 @@ def match_by_projection(
     radius: float = 15.0,
     max_dist: int = 50,
     ratio: float = 0.9,
+    pt_angle=None,       # [L] reference-observation ORB angle; when
+                         # given, the rotation-histogram gate rejects
+                         # matches off the dominant rotation modes
+                         # (ComputeThreeMaxima, Matcher.cpp:294-336)
 ):
     """SearchByProjection: landmark -> best detected feature in a
     pixel window around its projection.
@@ -81,6 +85,10 @@ def match_by_projection(
         (best <= max_dist)
         & (best.astype(jnp.float32) < ratio * second.astype(jnp.float32))
     )
+    if pt_angle is not None:
+        matched = rotation_consistency(
+            pt_angle, feats.angle[best_idx], matched
+        )
     # Cross-check: a feature keeps only the landmark that matches it
     # best (ties broken by landmark index via argmin).
     db = jnp.where(matched[:, None], d, _BIG)
@@ -101,6 +109,7 @@ def track_map_orb(
     radius_coarse: float = 15.0,
     radius_fine: float = 6.0,
     max_dist: int = 50,
+    pt_angle=None,
 ) -> TrackMapResult:
     """Two-pass projection matching + pose-only BA (the SPARSE_ORB
     frame tracker).  Output contract matches frontend.track_local_map
@@ -112,14 +121,14 @@ def track_map_orb(
 
     m1, obs1, _ = match_by_projection(
         cam, T_pred, pt_pos, pt_valid, pt_desc, feats,
-        radius=radius_coarse, max_dist=max_dist,
+        radius=radius_coarse, max_dist=max_dist, pt_angle=pt_angle,
     )
     m1 = m1 & vis
     T1, inl1, _ = pose_only_ba(T_pred, pt_pos, obs1, m1, cam)
     # Second pass at the refined pose with a tighter window.
     m2, obs2, _ = match_by_projection(
         cam, T1, pt_pos, pt_valid, pt_desc, feats,
-        radius=radius_fine, max_dist=max_dist,
+        radius=radius_fine, max_dist=max_dist, pt_angle=pt_angle,
     )
     pc2 = T1.apply(pt_pos)
     vis2 = (

@@ -49,6 +49,8 @@ def relocalize(
     pt_pos,            # [L, 3]
     pt_valid,          # [L]
     min_inliers: int = 20,
+    feat_angle_flat=None,  # [K*F] ORB angles (rotation gate when given)
+    q_angle=None,
 ) -> RelocResult:
     """One-shot relocalization attempt (jittable).
 
@@ -86,6 +88,11 @@ def relocalize(
             max_dist=64, ratio=1.0,
         )
         idx_safe = jnp.clip(idx, 0, F - 1)
+        if q_angle is not None and feat_angle_flat is not None:
+            from ..ops import hamming as _h
+            ok = _h.rotation_consistency(
+                q_angle, feat_angle_flat[rows][idx_safe], ok
+            )
         match_pts = pt_pos[pt_safe[idx_safe]]
         T_init = SE3.from_params7(kf_pose7[kf])
         T_opt, inlier, _ = pose_only_ba(T_init, match_pts, q_px, ok, cam)
@@ -109,6 +116,7 @@ def relocalize_archive(
     q_desc, q_px, q_valid,
     arc,                    # map.archive.ArchiveView
     min_inliers: int = 20,
+    q_angle=None,
 ) -> RelocResult:
     """Relocalization against the ARCHIVED (evicted) keyframes — the
     global-map tier the reference gets for free from its keep-everything
@@ -135,6 +143,11 @@ def relocalize_archive(
             max_dist=64, ratio=1.0,
         )
         idx_safe = jnp.clip(idx, 0, F - 1)
+        if q_angle is not None and arc.angle is not None:
+            from ..ops import hamming as _h
+            ok = _h.rotation_consistency(
+                q_angle, arc.angle[a][idx_safe], ok
+            )
         match_pts = arc.pt_pos[a][idx_safe]
         T_init = SE3.from_params7(arc.pose7[a])
         T_opt, inlier, _ = pose_only_ba(T_init, match_pts, q_px, ok, cam)
@@ -167,6 +180,7 @@ def detect_loop(
     pt_pos, pt_valid,
     min_inliers: int = 25,
     min_score_ratio: float = 0.75,
+    feat_angle_flat=None,
 ) -> LoopResult:
     """Loop candidate detection + geometric verification for a newly
     inserted keyframe (jittable).
@@ -208,6 +222,12 @@ def detect_loop(
         max_dist=50, ratio=0.85,
     )
     idx_safe = jnp.clip(idx, 0, F - 1)
+    if feat_angle_flat is not None:
+        from ..ops import hamming as _h
+        ok = _h.rotation_consistency(
+            feat_angle_flat[q_rows],
+            feat_angle_flat[c_rows][idx_safe], ok,
+        )
     match_pts = pt_pos[pt_safe[idx_safe]]
     T_init = SE3.from_params7(kf_pose7[new_slot])
     T_opt, inlier, _ = pose_only_ba(T_init, match_pts, q_px, ok, cam)
@@ -231,6 +251,7 @@ def detect_loop_archive(
     min_frame_gap: int = 50,
     min_inliers: int = 25,
     min_score_ratio: float = 0.75,
+    feat_angle_flat=None,
 ) -> LoopResult:
     """Loop detection for a new keyframe against the ARCHIVE — the
     long-trajectory loops (hundreds of keyframes between revisits) that
@@ -272,6 +293,11 @@ def detect_loop_archive(
         c_valid, max_dist=50, ratio=0.85,
     )
     idx_safe = jnp.clip(idx, 0, F - 1)
+    if feat_angle_flat is not None:
+        from ..ops import hamming as _h
+        ok = _h.rotation_consistency(
+            feat_angle_flat[q_rows], arc.angle[best][idx_safe], ok
+        )
     match_pts = arc.pt_pos[best][idx_safe]
     T_init = SE3.from_params7(kf_pose7[new_slot])
     T_opt, inlier, _ = pose_only_ba(T_init, match_pts, q_px, ok, cam)

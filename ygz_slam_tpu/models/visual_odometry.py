@@ -21,6 +21,7 @@ fixed-shape tensors:
 from __future__ import annotations
 
 import dataclasses
+import logging
 from enum import Enum
 from functools import partial
 
@@ -43,6 +44,8 @@ from ..map import vocabulary as voc
 from ..map import depth_filter as dfilt
 from ..utils import np_se3
 
+
+log = logging.getLogger("ygz_slam_tpu.vo")
 
 _VOCAB_CACHE = {}
 
@@ -403,6 +406,13 @@ class VisualOdometry:
                     cur_pyr, o.detect_threshold, o.grid_cell,
                     o.feat_budgets,
                 )
+                # No rotation-histogram gate here: map-point ->
+                # feature matching has no stable reference angle (a
+                # landmark's creation-time ORB angle drifts across
+                # views); the reference likewise reserves the
+                # histogram for frame-to-frame matchers
+                # (Matcher.cpp:294-336 is used by SearchByBoW /
+                # SearchForTriangulation, not FindDirectProjection).
                 tm = orbtrack.track_map_orb(
                     cur_pyr[0].shape, cam, T_pred,
                     mstate.pt_pos, mstate.pt_valid, mstate.pt_desc,
@@ -503,7 +513,7 @@ class VisualOdometry:
 
         @jax.jit
         def _triangulate(mstate, feats_px, feats_desc, feats_valid,
-                         T_new7, nbr_slot):
+                         feats_angle, T_new7, nbr_slot):
             T_new = SE3.from_params7(T_new7)
             T_ref = SE3.from_params7(mstate.kf_pose7[nbr_slot])
             desc_ref = mstate.feat_desc[nbr_slot]
@@ -517,6 +527,8 @@ class VisualOdometry:
             return lm.match_new_features_for_triangulation(
                 cam, feats_desc, feats_px, feats_valid, T_new,
                 desc_ref, px_ref, ref_free, T_ref,
+                angle_new=feats_angle,
+                angle_ref=mstate.feat_angle[nbr_slot],
             )
 
         @jax.jit
@@ -549,7 +561,8 @@ class VisualOdometry:
                 return voc.bow_vector(vocab, words, valid), nodes
 
             @jax.jit
-            def _reloc(q_desc, q_px, q_valid, kf_bow, kf_nodes, mstate):
+            def _reloc(q_desc, q_px, q_valid, q_angle, kf_bow,
+                       kf_nodes, mstate):
                 return reloc.relocalize(
                     vocab, cam, q_desc, q_px, q_valid,
                     kf_bow, mstate.kf_valid, mstate.kf_pose7,
@@ -559,6 +572,8 @@ class VisualOdometry:
                     mstate.feat_valid.reshape(-1),
                     mstate.pt_pos, mstate.pt_valid,
                     min_inliers=o.reloc_min_inliers,
+                    feat_angle_flat=mstate.feat_angle.reshape(-1),
+                    q_angle=q_angle,
                 )
 
             @jax.jit
@@ -573,6 +588,7 @@ class VisualOdometry:
                     mstate.feat_valid.reshape(-1),
                     mstate.pt_pos, mstate.pt_valid,
                     min_inliers=o.loop_min_inliers,
+                    feat_angle_flat=mstate.feat_angle.reshape(-1),
                 )
                 pose7, pts, chi2 = reloc.close_loop(
                     mstate.kf_pose7, mstate.kf_valid, mstate.cov_weight,
@@ -582,10 +598,10 @@ class VisualOdometry:
                 return lp, mstate._replace(kf_pose7=pose7, pt_pos=pts)
 
             @jax.jit
-            def _reloc_arc(q_desc, q_px, q_valid, arc):
+            def _reloc_arc(q_desc, q_px, q_valid, q_angle, arc):
                 return reloc.relocalize_archive(
                     vocab, cam, q_desc, q_px, q_valid, arc,
-                    min_inliers=o.reloc_min_inliers,
+                    min_inliers=o.reloc_min_inliers, q_angle=q_angle,
                 )
 
             @jax.jit
@@ -601,6 +617,7 @@ class VisualOdometry:
                     mstate.kf_pose7, arc,
                     min_frame_gap=o.loop_min_frame_gap,
                     min_inliers=o.loop_min_inliers,
+                    feat_angle_flat=mstate.feat_angle.reshape(-1),
                 )
 
             self._jit_reloc_arc = _reloc_arc
@@ -624,7 +641,7 @@ class VisualOdometry:
             return (
                 mstate.kf_pose7[slot], mstate.feat_desc[slot],
                 mstate.feat_px[slot], mstate.feat_valid[slot],
-                mstate.pt_pos[ptsafe], ok,
+                mstate.pt_pos[ptsafe], ok, mstate.feat_angle[slot],
             )
 
         self._jit_arc_snapshot = _arc_snapshot
@@ -701,6 +718,22 @@ class VisualOdometry:
             res = self._track_frame(pyr)
         else:  # LOST
             res = self._handle_lost(pyr)
+        self.stats["frames"] += 1
+        if res.status is Status.GOOD:
+            self.stats["frames_good"] += 1
+            self.stats["inliers_total"] += res.n_inliers
+        elif res.status is Status.LOST:
+            self.stats["frames_lost"] += 1
+        if log.isEnabledFor(logging.DEBUG):
+            # The reference glogs per-frame tracking counters
+            # (SURVEY §5); opt in with
+            # logging.getLogger("ygz_slam_tpu.vo").setLevel(DEBUG).
+            log.debug(
+                "frame %d: %s inliers=%d kfs=%d archive=%d",
+                self.frame_id, res.status.name, res.n_inliers,
+                len(self.server.kf_used),
+                self.archive.count if self.archive else 0,
+            )
         if res.T_cw is not None:
             abs7 = np.asarray(res.T_cw.params7())
             self.trajectory.append((timestamp, abs7))
@@ -1108,7 +1141,7 @@ class VisualOdometry:
         new_angle = feats.angle[:Fn]
         # --- triangulate new features vs the last keyframe ---
         pos_w, good, _ = self._jit_triangulate(
-            mstate, new_px, new_desc, new_valid,
+            mstate, new_px, new_desc, new_valid, new_angle,
             T_cw.params7(), self.last_kf_slot,
         )
         if getattr(self, "cur_depth", None) is not None or getattr(
@@ -1240,6 +1273,17 @@ class VisualOdometry:
             self.kf_pose_log[int(id_np[s])] = pose7_np[s].copy()
         self._last_kf_fid = int(id_np[slot])
         self._last_kf_pose7 = pose7_np[slot].copy()
+        if log.isEnabledFor(logging.INFO):
+            m = srv.state
+            log.info(
+                "keyframe %d -> slot %d: landmarks=%d active_kfs=%d "
+                "archived=%d loops(active/global)=%d/%d",
+                self.frame_id, slot, int(np.asarray(m.pt_valid).sum()),
+                len(srv.kf_used),
+                self.archive.count if self.archive else 0,
+                self.stats["loops_closed_active"],
+                self.stats["loops_closed_global"],
+            )
 
     # -- semi-dense / dense map maintenance ------------------------------
     def _mean_map_depth(self, slot) -> float:
@@ -1372,9 +1416,11 @@ class VisualOdometry:
         if len(srv.kf_used) <= 4:
             return
         m = srv.state
-        scores = native.kf_redundancy(
+        # Scale-aware rule: only finer-or-equal-level observations
+        # make an observation redundant (LocalMapping.cpp:592-607).
+        scores = native.kf_redundancy_scale(
             np.asarray(m.feat_point), np.asarray(m.feat_valid),
-            np.asarray(m.pt_obs), min_obs=4,
+            np.asarray(m.feat_level), L=self.o.map_L, min_obs=4,
         )
         for slot in list(srv.kf_used):
             if slot in protect or len(srv.kf_used) <= 4:
@@ -1425,7 +1471,7 @@ class VisualOdometry:
         fid = int(m.kf_id[slot])
         if fid < 0 or self.archive is None:
             return
-        pose7, desc, px, fvalid, pt_pos, pt_ok = (
+        pose7, desc, px, fvalid, pt_pos, pt_ok, angle = (
             np.asarray(a) for a in self._jit_arc_snapshot(
                 m, jnp.asarray(slot)
             )
@@ -1437,7 +1483,8 @@ class VisualOdometry:
             bow = np.zeros(1, np.float32)
             nodes = np.full(self.o.map_F, -1, np.int32)
         self.archive.append(
-            fid, pose7, bow, nodes, desc, px, fvalid, pt_pos, pt_ok
+            fid, pose7, bow, nodes, desc, px, fvalid, pt_pos, pt_ok,
+            angle=angle,
         )
         self.kf_pose_log[fid] = pose7.copy()
         self.stats["keyframes_archived"] += 1
@@ -1566,7 +1613,7 @@ class VisualOdometry:
             return None
         feats = self._jit_detect_free(pyr)
         r = self._jit_reloc(
-            feats.desc, feats.px, feats.valid,
+            feats.desc, feats.px, feats.valid, feats.angle,
             self.kf_bow, self.kf_nodes, self.server.state,
         )
         if bool(r.success):
@@ -1575,7 +1622,7 @@ class VisualOdometry:
             # Cascade to the global tier: archived keyframes the
             # active window can no longer reach.
             ra = self._jit_reloc_arc(
-                feats.desc, feats.px, feats.valid,
+                feats.desc, feats.px, feats.valid, feats.angle,
                 self.archive.device_view(),
             )
             if bool(ra.success):

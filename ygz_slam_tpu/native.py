@@ -56,6 +56,11 @@ def _load():
             i32p, u8p, i32p, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, f32p,
         ]
+        lib.ms_kf_redundancy_scale.restype = None
+        lib.ms_kf_redundancy_scale.argtypes = [
+            i32p, u8p, i32p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, f32p,
+        ]
         _LIB = lib
     except Exception:
         _LIB = None
@@ -163,5 +168,41 @@ def kf_redundancy(feat_point, feat_valid, pt_obs, min_obs: int = 4):
     linked = (feat_valid > 0) & (feat_point >= 0) & (feat_point < L)
     p = np.clip(feat_point, 0, L - 1)
     red = linked & (pt_obs[p] >= min_obs)
+    n = np.maximum(linked.sum(1), 1)
+    return (red.sum(1) / n).astype(np.float32)
+
+
+def kf_redundancy_scale(feat_point, feat_valid, feat_level,
+                        L: int, min_obs: int = 4):
+    """Scale-aware redundancy scores (KeyFrameCulling's
+    finer-or-equal-level rule, LocalMapping.cpp:592-607): an
+    observation only counts as redundant when >= min_obs keyframes see
+    the landmark at pyramid level <= its own level + 1."""
+    lib = _load()
+    feat_point = np.ascontiguousarray(feat_point, np.int32)
+    feat_valid = np.ascontiguousarray(feat_valid, np.uint8)
+    feat_level = np.ascontiguousarray(feat_level, np.int32)
+    K, F = feat_point.shape
+    if lib is not None:
+        out = np.zeros(K, np.float32)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.ms_kf_redundancy_scale(
+            _p(feat_point.reshape(-1), i32p),
+            _p(feat_valid.reshape(-1), ctypes.POINTER(ctypes.c_uint8)),
+            _p(feat_level.reshape(-1), i32p),
+            K, F, L, min_obs,
+            _p(out, ctypes.POINTER(ctypes.c_float)),
+        )
+        return out
+    # NumPy fallback: per-(landmark, level) histogram + prefix.
+    MAXLVL = 8
+    linked = (feat_valid > 0) & (feat_point >= 0) & (feat_point < L)
+    p = np.clip(feat_point, 0, L - 1)
+    lvl = np.clip(feat_level, 0, MAXLVL - 1)
+    counts = np.zeros((L, MAXLVL), np.int32)
+    np.add.at(counts, (p[linked], lvl[linked]), 1)
+    cum = np.cumsum(counts, axis=1)
+    l_slack = np.clip(lvl + 1, 0, MAXLVL - 1)
+    red = linked & (cum[p, l_slack] >= min_obs)
     n = np.maximum(linked.sum(1), 1)
     return (red.sum(1) / n).astype(np.float32)

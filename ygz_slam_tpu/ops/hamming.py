@@ -97,6 +97,15 @@ def rotation_consistency(
     counts = jnp.zeros(n_bins, jnp.int32).at[bin_idx].add(
         matched.astype(jnp.int32)
     )
-    _, top_bins = jax.lax.top_k(counts, n_keep)
-    in_top = jnp.any(bin_idx[:, None] == top_bins[None, :], axis=1)
+    top_counts, top_bins = jax.lax.top_k(counts, n_keep)
+    # The reference also drops a top-3 bin when its count falls below
+    # 0.1x the dominant bin (ComputeThreeMaxima's max2/max3 < 0.1*max1
+    # suppression, Matcher.cpp:294-336) — a weak minority mode is
+    # noise, not a second rotation hypothesis.
+    strong = top_counts.astype(jnp.float32) >= 0.1 * top_counts[0].astype(
+        jnp.float32
+    )
+    in_top = jnp.any(
+        (bin_idx[:, None] == top_bins[None, :]) & strong[None, :], axis=1
+    )
     return matched & in_top

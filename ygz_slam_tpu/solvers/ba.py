@@ -37,6 +37,43 @@ from .nlls import gauss_newton
 CHI2_2D = 5.991
 MIN_DEPTH = 1e-2
 
+# MXU precision for the BA einsums.  "highest" = 6-pass f32 emulation
+# (bitwise-safest); "tensorfloat32" = 3-pass bf16 with f32 accumulation.
+# The 1-pass DEFAULT diverged on the real chip (commit c5be0e3).
+# Real-TPU A/B (_bench_ba_ab.py, same-script): tf32 931 iters/s vs
+# highest 833/819, with BIT-COMPARABLE convergence (max pose error
+# 0.006035 vs 0.006047 on the 10KFx500pt workload — both at the
+# workload's noise floor).  3-pass it is.
+MATMUL_PRECISION = "tensorfloat32"
+
+
+def inv3x3(M: jnp.ndarray) -> jnp.ndarray:
+    """Batched closed-form 3x3 inverse (adjugate/determinant).
+
+    jnp.linalg.inv on [L, 3, 3] lowers to batched LU — scalar-heavy on
+    TPU.  The adjugate form is 27 fused multiplies on the VPU and
+    exact in f32 for the well-conditioned (damped) landmark blocks."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    I = a * e - b * d
+    det = a * A + b * D + c * G
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    adj = jnp.stack([
+        jnp.stack([A, B, C], axis=-1),
+        jnp.stack([D, E, F], axis=-1),
+        jnp.stack([G, H, I], axis=-1),
+    ], axis=-2)
+    return adj * inv_det[..., None, None]
+
 
 class Observations(NamedTuple):
     """Fixed-capacity observation table (invalid rows masked out)."""
@@ -224,11 +261,11 @@ def point_only_ba(
         H = jax.ops.segment_sum(H_o, obs.pt_idx, num_segments=L)
         b = jax.ops.segment_sum(b_o, obs.pt_idx, num_segments=L)
         H = H + 1e-6 * jnp.eye(3, dtype=H.dtype)
-        dx = jnp.linalg.solve(H, b[..., None])[..., 0]
+        dx = jnp.einsum("lab,lb->la", inv3x3(H), b)
         dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
         return pts + dx, None
 
-    with jax.default_matmul_precision("highest"):
+    with jax.default_matmul_precision(MATMUL_PRECISION):
         pts, _ = jax.lax.scan(step, points, None, length=n_iter)
     return pts
 
@@ -288,7 +325,7 @@ def _schur_solve(Hcc, Hll, W, bc, bl, fixed_pose, lam):
     dtype = Hcc.dtype
     eye3 = jnp.eye(3, dtype=dtype)
     Hll_d = Hll + (lam + 1e-6) * eye3
-    Hll_inv = jnp.linalg.inv(Hll_d)                            # [L,3,3]
+    Hll_inv = inv3x3(Hll_d)                                    # [L,3,3]
     A = jnp.einsum("klab,lbc->klac", W, Hll_inv)               # [K,L,6,3]
     S_red = jnp.einsum("klac,mlbc->kmab", A, W)                # [K,K,6,6]
     S = -S_red
@@ -335,10 +372,11 @@ def local_ba(
     first/oldest keyframe, BA.cpp:341,417).
     """
     obs = obs._replace(px=cam.undistort_px(obs.px))  # solver boundary
-    # TPU MXU f32 contractions round through bf16 at default precision,
+    # TPU MXU f32 contractions round through bf16 at the 1-pass default,
     # which visibly degrades the Hessian blocks / Schur reduction (see
-    # parallel.sharded_ba).  Trace the BA math at full f32.
-    with jax.default_matmul_precision("highest"):
+    # parallel.sharded_ba).  Trace the BA math at >= 3-pass precision
+    # (MATMUL_PRECISION above).
+    with jax.default_matmul_precision(MATMUL_PRECISION):
         return _local_ba(poses, points, obs, cam, fixed_pose, n_iter,
                          huber_delta, chi2_th)
 
