@@ -64,13 +64,24 @@ def main():
                   ))
     ds = TumDataset(args.dataset)
     print(f"{len(ds)} frames")
-    for i, fd in enumerate(ds):
-        if sensor == Sensor.RGBD and fd.depth is not None:
-            r = slam.track_rgbd(fd.gray, fd.depth, fd.timestamp)
-        else:
-            r = slam.track_monocular(fd.gray, fd.timestamp)
-        if i % 30 == 0:
+    if sensor == Sensor.MONOCULAR:
+        # Chunked streaming ingestion: frames advance in on-device
+        # scans, paying the fixed dispatch cost per chunk.
+        results = slam.track_monocular_stream(
+            (fd.gray, fd.timestamp) for fd in ds
+        )
+        for i in range(0, len(results), 30):
+            r = results[i]
             print(f"[{i}] {r.status.name} inliers={r.n_inliers}")
+        r = results[-1]
+    else:
+        for i, fd in enumerate(ds):
+            if fd.depth is not None:
+                r = slam.track_rgbd(fd.gray, fd.depth, fd.timestamp)
+            else:
+                r = slam.track_monocular(fd.gray, fd.timestamp)
+            if i % 30 == 0:
+                print(f"[{i}] {r.status.name} inliers={r.n_inliers}")
     tpath = os.path.join(args.out, "trajectory_tum.txt")
     slam.save_trajectory(tpath)
     slam.save_map(os.path.join(args.out, "map.npz"))

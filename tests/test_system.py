@@ -190,3 +190,39 @@ class TestEurocDataset:
         # T_cw = T_wb^-1: t_cw = -R^T t_wb = (-0.1, 0, -1) at i=1.
         np.testing.assert_allclose(
             np.asarray(poses[1].t), [-0.1, 0.0, -1.0], atol=1e-6)
+
+
+class TestStreamIngestion:
+    def test_stream_matches_per_frame(self):
+        """track_monocular_stream (the System-level chunked default)
+        reproduces the per-frame path's statuses and keyframe set."""
+        import numpy as np
+        import jax.numpy as jnp
+        from ygz_slam_tpu.geometry import se3
+        from ygz_slam_tpu.utils.synthetic import PlaneScene
+
+        scene = PlaneScene(CAM, plane_z=3.0, seed=9)
+        n = 26
+        imgs = []
+        for k in range(n):
+            t = k / (n - 1)
+            xi = jnp.asarray(
+                [1.0 * t, 0.15 * np.sin(2 * t), 0.3 * t,
+                 0.02 * np.sin(3 * t), -0.12 * t, 0.02 * t],
+                jnp.float32,
+            )
+            imgs.append(scene.render(se3.exp(xi), (240, 320)))
+        opts = VOOptions(init_min_disparity=15.0, kf_min_frames=5,
+                        kf_max_trans=0.04, kf_max_rot=0.05)
+
+        s1 = System(camera=CAM, sensor=Sensor.MONOCULAR, options=opts)
+        res_stream = s1.track_monocular_stream(
+            ((im, float(k)) for k, im in enumerate(imgs)), chunk=6
+        )
+        s2 = System(camera=CAM, sensor=Sensor.MONOCULAR, options=opts)
+        res_frame = [s2.track_monocular(im, float(k))
+                     for k, im in enumerate(imgs)]
+        assert len(res_stream) == len(res_frame) == n
+        assert ([r.status for r in res_stream]
+                == [r.status for r in res_frame])
+        assert s1.vo.server.kf_used == s2.vo.server.kf_used

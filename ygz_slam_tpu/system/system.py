@@ -89,6 +89,29 @@ class System:
         assert self.sensor == Sensor.MONOCULAR
         return self.vo.add_frames(imgs, timestamps, chunk=chunk)
 
+    def track_monocular_stream(self, frames_iter, chunk: int | None = None):
+        """DEFAULT high-throughput ingestion for monocular sequences:
+        consume an iterator of (img, timestamp) pairs, batching frames
+        into on-device chunked scans (VisualOdometry.add_frames) so the
+        fixed per-dispatch cost is paid per chunk, not per frame —
+        without materializing the whole sequence in host memory.
+
+        Returns a TrackResult per frame, in order.  Results for a
+        buffered chunk become available when the chunk flushes; use
+        track_monocular for strict frame-by-frame latency."""
+        assert self.sensor == Sensor.MONOCULAR
+        chunk = chunk or self.vo.o.chunk_frames
+        buf, ts_buf, out = [], [], []
+        for img, ts in frames_iter:
+            buf.append(img)
+            ts_buf.append(ts)
+            if len(buf) >= 2 * chunk:
+                out.extend(self.vo.add_frames(buf, ts_buf, chunk=chunk))
+                buf, ts_buf = [], []
+        if buf:
+            out.extend(self.vo.add_frames(buf, ts_buf, chunk=chunk))
+        return out
+
     def track_rgbd(self, img, depth, timestamp: float):
         assert self.sensor == Sensor.RGBD
         return self.vo.add_frame(img, timestamp, depth=depth)
