@@ -113,7 +113,8 @@ class TestArchiveRelocalization:
         q_pyr = fe.preprocess(imgs[max(early_fid, 2)], vo.o.n_levels)
         feats = vo._jit_detect_free(q_pyr)
         ra = vo._jit_reloc_arc(
-            feats.desc, feats.px, feats.valid, vo.archive.device_view()
+            feats.desc, feats.px, feats.valid, feats.angle,
+            vo.archive.device_view(),
         )
         assert bool(ra.success), "archive relocalization failed"
         # Recovered camera center must be near the archived keyframe's.

@@ -273,3 +273,20 @@ class TestTwoViewBA:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+class TestNormalScale:
+    def test_normal_scale_estimates_sigma(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from ygz_slam_tpu.solvers import robust
+
+        rng = np.random.default_rng(0)
+        r = jnp.asarray(rng.normal(0, 2.5, 4000), jnp.float32)
+        s = float(robust.normal_scale(r))
+        assert abs(s - 2.5) < 0.15, s
+        # Masked: scale estimated from the selected half only.
+        mask = jnp.asarray(np.arange(4000) < 2000)
+        r2 = jnp.concatenate([r[:2000], 100.0 * jnp.ones(2000)])
+        s2 = float(robust.normal_scale(r2, mask))
+        assert abs(s2 - 2.5) < 0.2, s2

@@ -75,16 +75,16 @@ def batched_sparse_align(
             if prep is None:
                 prep = sa.prepare_reference(
                     rp, cam, px_ref[s], depth_ref[s], mask[s],
-                    distorted=False,
+                    distorted=True,
                 )
             T0 = SE3.from_params7(T7_in[s])
             fw = sa.gather_frame_windows(
-                cp, cam, prep, T0, distorted=False,
+                cp, cam, prep, T0, distorted=True,
                 max_level=len(cp) - 1,
             )
             st = sa.sparse_image_align(
                 rp, cp, cam, px_ref[s], depth_ref[s], mask[s], T0,
-                n_iter=n_iter, distorted=False, ref_prep=prep,
+                n_iter=n_iter, distorted=True, ref_prep=prep,
                 frame_windows=fw,
             )
             T7s.append(st.T_cur_ref.params7())
@@ -95,7 +95,7 @@ def batched_sparse_align(
         def one(rp, cp, px, d, m, T7):
             st = sparse_image_align(
                 tuple(r for r in rp), tuple(c for c in cp), cam, px, d, m,
-                SE3.from_params7(T7), n_iter=n_iter, distorted=False,
+                SE3.from_params7(T7), n_iter=n_iter, distorted=True,
             )
             return st.T_cur_ref.params7()
 
@@ -109,7 +109,7 @@ def batched_sparse_align(
     pxf = px_ref.reshape(S * N, 2)
     df = depth_ref.reshape(S * N)
     mf = mask.reshape(S * N) & (df > 1e-3)
-    p_ref = cam.pixel_to_camera(pxf, df, distorted=False)     # [SN, 3]
+    p_ref = cam.pixel_to_camera(pxf, df, distorted=True)     # [SN, 3]
     T = T_init
 
     for level in range(len(ref_pyrs) - 1, -1, -1):
@@ -133,7 +133,7 @@ def batched_sparse_align(
             Tb = SE3.from_params7(T7)
             Tp = jax.tree.map(lambda a: a[seq_idx], Tb)
             p_cur = Tp.apply(p_ref)
-            px_cur = cam.camera_to_pixel(p_cur, distorted=False) * scale
+            px_cur = cam.camera_to_pixel(p_cur, distorted=True) * scale
             okc = vis & (p_cur[:, 2] > 1e-3) & in_bounds(
                 px_cur, hh, ww, margin=4.0
             )
@@ -272,7 +272,7 @@ def batched_track_step(
         n_iter=n_align_iter, ref_preps=ref_preps,
     )
     proj = jax.vmap(
-        lambda Ti, p: cam.world_to_pixel(p, Ti, distorted=False)
+        lambda Ti, p: cam.world_to_pixel(p, Ti, distorted=True)
     )(T, pts_w)
     xy, conv, _err = batched_align2d(cur_pyrs[0], ref_patches, proj,
                                      a2d_prep=a2d_prep)

@@ -127,12 +127,13 @@ def sharded_local_ba(
     # projects with distorted=False exactly (solvers/ba.reproject's
     # convention; reference BA.cpp:33,47,106 via Pixel2Camera2D).
     obs = obs._replace(px=cam.undistort_px(obs.px))
-    # TPU MXU f32 contractions round through bf16 at default precision;
-    # the 6x6/3x3 Hessian blocks and the Schur reduction lose enough
-    # bits that BA converges visibly worse (bench_scaling's pose gate
-    # failed on the real chip at default precision and passes at
-    # highest).  Trace all BA einsums at full f32.
-    with jax.default_matmul_precision("highest"):
+    # TPU MXU f32 contractions round through bf16 at the 1-pass
+    # default, which visibly degrades the Hessian blocks / Schur
+    # reduction (bench_scaling's pose gate failed on the real chip at
+    # default precision).  Trace at solvers.ba.MATMUL_PRECISION
+    # (>= 3-pass; see the A/B record there).
+    from ..solvers import ba as _ba
+    with jax.default_matmul_precision(_ba.MATMUL_PRECISION):
         return _sharded_local_ba(
             mesh, poses, points, obs, cam, fixed_pose, n_iter,
             huber_delta,
@@ -209,7 +210,8 @@ def _sharded_local_ba(
             dtype = pts_c.dtype
             # Local Schur pieces, then one psum for the global system.
             Hll_d = Hll + (lam + 1e-6) * jnp.eye(3, dtype=dtype)
-            Hll_inv = jnp.linalg.inv(Hll_d)
+            from ..solvers.ba import inv3x3
+            Hll_inv = inv3x3(Hll_d)
             A = jnp.einsum("klab,lbc->klac", W, Hll_inv)
             S_loc = -jnp.einsum("klac,mlbc->kmab", A, W)
             b_loc = -jnp.einsum("klac,lc->ka", A, bl)

@@ -88,3 +88,16 @@ def tdist_scale(
         w = (dof + 1.0) / (dof + r2 / jnp.maximum(sigma2, 1e-12))
         sigma2 = jnp.sum(jnp.where(mask, w * r2, 0.0)) / n
     return jnp.sqrt(jnp.maximum(sigma2, 1e-12))
+
+
+def normal_scale(
+    r: jnp.ndarray,
+    mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Gaussian scale estimator: RMS of the (masked) residuals —
+    NormalDistributionScaleEstimator (RobustCost.h:11-136), the last
+    of the reference's four scale estimators (Unit/TDist/MAD/Normal)."""
+    if mask is None:
+        mask = jnp.ones_like(r, dtype=bool)
+    n = jnp.maximum(jnp.sum(mask), 1).astype(r.dtype)
+    return jnp.sqrt(jnp.sum(jnp.where(mask, r * r, 0.0)) / n)
