@@ -191,3 +191,51 @@ class TestArchiveLoopClosing:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
+
+
+class TestArchiveReactivation:
+    def test_kidnapped_camera_resumes_in_old_region(self):
+        """Kidnapped-camera recovery: after the start-of-run keyframes
+        are evicted, teleporting the camera back to the start must
+        (1) relocalize via the archive, (2) REACTIVATE the matched
+        keyframe + its landmarks into the active window, and (3) keep
+        tracking GOOD on subsequent frames in that region."""
+        n = 44
+        scene = PlaneScene(CAM, plane_z=3.0, seed=3)
+        # One-way sweep FAR enough that the end view shares zero
+        # pixels with the start view (2.6 m ~ 277 px shift at the
+        # plane > 320 px width minus margins), so plain LOST-retry
+        # against the active map cannot succeed.
+        poses = []
+        for k in range(n):
+            t = k / (n - 1)
+            xi = jnp.asarray(
+                [2.6 * t, 0.1 * np.sin(2 * np.pi * t), 0.0,
+                 0.0, -0.05 * np.sin(np.pi * t), 0.0], jnp.float32,
+            )
+            poses.append(se3.exp(xi))
+        imgs = render(poses, scene)
+        vo = run_vo(imgs)
+        assert vo.archive.count >= 1
+        # Eviction order is least-covisible, not temporal: kidnap to
+        # the OLDEST archived keyframe (the start of the sweep), which
+        # shares no view with the active end-of-sweep window.
+        early_fid = int(vo.archive.frame_ids().min())
+        k0 = max(early_fid, 2)
+        # Kidnap: force LOST, then feed frames from the start region
+        # (slight pose offsets so tracking has real work).
+        vo.status = Status.LOST
+        vo.lost_count = 0
+        kf_before = len(vo.server.kf_used)
+        statuses = []
+        for j in range(5):
+            img = imgs[min(k0 + j, n - 1)]
+            r = vo.add_frame(img, timestamp=float(100 + j))
+            statuses.append(r.status)
+        assert vo.stats["relocs_archive"] >= 1, dict(vo.stats)
+        assert vo.stats["keyframes_reactivated"] >= 1, dict(vo.stats)
+        # Recovery is sticky: tracking stays GOOD after reactivation.
+        assert statuses[0] == Status.GOOD, statuses
+        assert all(s == Status.GOOD for s in statuses[1:]), statuses
+        # And it tracks with real inliers, not a degenerate pose.
+        assert r.n_inliers >= vo.o.min_track_inliers, r.n_inliers

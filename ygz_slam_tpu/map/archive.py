@@ -57,9 +57,14 @@ class KeyframeArchive:
         return len(self._rows)
 
     def append(self, frame_id: int, pose7, bow, nodes, desc, px,
-               feat_valid, pt_pos, pt_ok, angle=None):
+               feat_valid, pt_pos, pt_ok, angle=None, level=None,
+               image=None):
         if angle is None:
             angle = np.zeros(np.asarray(px).shape[0], np.float32)
+        if level is None:
+            level = np.zeros(np.asarray(px).shape[0], np.int32)
+        if image is None:
+            image = np.zeros((1, 1), np.uint8)
         self._rows.append(dict(
             frame_id=int(frame_id),
             pose7=np.asarray(pose7, np.float32).copy(),
@@ -71,6 +76,11 @@ class KeyframeArchive:
             feat_valid=np.asarray(feat_valid, bool).copy(),
             pt_pos=np.asarray(pt_pos, np.float32).copy(),
             pt_ok=np.asarray(pt_ok, bool).copy(),
+            level=np.asarray(level, np.int32).copy(),
+            # Level-0 keyframe image, uint8 (host-only; the patch
+            # source for keyframe REACTIVATION after an archive
+            # relocalization — never shipped to device in the view).
+            image=np.asarray(image, np.uint8).copy(),
         ))
         self._view = None
 
@@ -154,6 +164,14 @@ class KeyframeArchive:
             r["nodes"] = np.asarray(nodes, np.int32)
         self._view = None
 
+    def pop(self, idx: int) -> dict:
+        """Remove and return a row (keyframe REACTIVATION: the entry
+        moves back into the active window, so keeping the archive copy
+        would duplicate its pose-graph node and invite self-loops)."""
+        row = self._rows.pop(idx)
+        self._view = None
+        return row
+
     # -- persistence (System.save_map/load_map) -------------------------
     def state_dict(self) -> dict:
         if not self.count:
@@ -172,7 +190,8 @@ class KeyframeArchive:
             return
         n = data["__arc_frame_id"].shape[0]
         keys = ["frame_id", "pose7", "bow", "nodes", "desc", "px",
-                "feat_valid", "pt_pos", "pt_ok", "angle"]
+                "feat_valid", "pt_pos", "pt_ok", "angle", "level",
+                "image"]
         for i in range(n):
             row = {}
             for k in keys:
@@ -180,4 +199,8 @@ class KeyframeArchive:
                     row[k] = np.asarray(data[f"__arc_{k}"][i])
                 elif k == "angle":   # maps saved before the field
                     row[k] = np.zeros(self.F, np.float32)
+                elif k == "level":
+                    row[k] = np.zeros(self.F, np.int32)
+                elif k == "image":
+                    row[k] = np.zeros((1, 1), np.uint8)
             self._rows.append(row)

@@ -148,6 +148,7 @@ def track_local_map(
     patch_ok,             # [L] patch source validity
     search_lvl=None,      # [L] int32 per-landmark search level (None=0)
     max_align_error: float = 30.0,
+    max_step_motion: float = 0.2,
 ) -> TrackMapResult:
     """Track against the local map: project landmarks, refine each
     projection with batched inverse-compositional patch alignment AT
@@ -226,8 +227,24 @@ def track_local_map(
     T_opt, inlier, chi2 = pose_only_ba(
         T_cw_init, pt_pos, xy0, matched, cam
     )
+    # Whole-step motion sanity gate: on self-similar texture, patch
+    # alignment can latch coherently onto WRONG minima and pose BA
+    # then accepts a large consistent jump (perceptual aliasing — the
+    # classic direct-method kidnap failure).  The reference gates only
+    # the sparse alignment (Matcher.h:30 _max_alignment_motion); here
+    # the same bound also applies to the pose-BA correction, so an
+    # aliased solve reports FAILURE (zero inliers -> LOST -> BoW
+    # relocalization) instead of teleporting the camera.
+    step = jnp.linalg.norm(
+        se3m.log(T_opt.compose(T_cw_init.inverse()))
+    )
+    sane = step <= max_step_motion
+    inlier = inlier & sane
+    T_out = jax.tree.map(
+        lambda a, b: jnp.where(sane, a, b), T_opt, T_cw_init
+    )
     return TrackMapResult(
-        T_cw=T_opt,
+        T_cw=T_out,
         n_inliers=jnp.sum(inlier),
         candidate=in_frustum,
         found=inlier,

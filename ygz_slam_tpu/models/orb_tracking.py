@@ -110,6 +110,7 @@ def track_map_orb(
     radius_fine: float = 6.0,
     max_dist: int = 50,
     pt_angle=None,
+    max_step_motion: float = 0.2,
 ) -> TrackMapResult:
     """Two-pass projection matching + pose-only BA (the SPARSE_ORB
     frame tracker).  Output contract matches frontend.track_local_map
@@ -141,8 +142,17 @@ def track_map_orb(
     obs = jnp.where(use2[:, None], obs2, obs1)
     matched = use2 | m1
     T2, inlier, _chi2 = pose_only_ba(T1, pt_pos, obs, matched, cam)
+    # Whole-step motion sanity gate (see frontend.track_local_map):
+    # an aliased solve far from the prediction reports failure.
+    from ..geometry import se3 as se3m
+    step = jnp.linalg.norm(se3m.log(T2.compose(T_pred.inverse())))
+    sane = step <= max_step_motion
+    inlier = inlier & sane
+    T_out = jax.tree.map(
+        lambda a, b: jnp.where(sane, a, b), T2, T_pred
+    )
     return TrackMapResult(
-        T_cw=T2,
+        T_cw=T_out,
         n_inliers=jnp.sum(inlier),
         candidate=vis | vis2,
         found=inlier,

@@ -209,6 +209,8 @@ class VisualOdometry:
         self.frame_id = -1
         self.lost_count = 0
         self.init_used_h = None   # which RANSAC model bootstrapped
+        self._last_reloc_arc_idx = None  # archive row of the last
+                                         # successful archive reloc
         self.trajectory: list[tuple[float, np.ndarray]] = []
         # Per-run counters (the reference glogs these at every stage,
         # SURVEY §5; exposed here as a dict + optional log lines).
@@ -642,6 +644,7 @@ class VisualOdometry:
                 mstate.kf_pose7[slot], mstate.feat_desc[slot],
                 mstate.feat_px[slot], mstate.feat_valid[slot],
                 mstate.pt_pos[ptsafe], ok, mstate.feat_angle[slot],
+                mstate.feat_level[slot],
             )
 
         self._jit_arc_snapshot = _arc_snapshot
@@ -691,17 +694,24 @@ class VisualOdometry:
                     self.prev_T_cw = r.T_cw
                     self.T_cw = r.T_cw
                     L = self.o.map_L
-                    self.prev_found = jnp.zeros(L, bool)
-                    self.prev_obs_px = jnp.zeros((L, 2), jnp.float32)
+                    if self._last_reloc_arc_idx is not None:
+                        found, obs_px = self._reactivate_archived(
+                            self._last_reloc_arc_idx, r.T_cw
+                        )
+                        self.prev_found = found
+                        self.prev_obs_px = obs_px
+                    else:
+                        self.prev_found = jnp.zeros(L, bool)
+                        self.prev_obs_px = jnp.zeros((L, 2), jnp.float32)
+                        self.last_kf_slot = self.server.kf_used[-1]
+                        self.frames_since_kf = 0
+                        self._last_kf_fid = int(
+                            self.server.state.kf_id[self.last_kf_slot]
+                        )
+                        self._last_kf_pose7 = np.asarray(
+                            self.server.state.kf_pose7[self.last_kf_slot]
+                        )
                     self.velocity = SE3.identity()
-                    self.last_kf_slot = self.server.kf_used[-1]
-                    self.frames_since_kf = 0
-                    self._last_kf_fid = int(
-                        self.server.state.kf_id[self.last_kf_slot]
-                    )
-                    self._last_kf_pose7 = np.asarray(
-                        self.server.state.kf_pose7[self.last_kf_slot]
-                    )
                     res = TrackResult(Status.GOOD, r.T_cw,
                                       int(r.n_inliers))
                 elif depth is not None or right is not None:
@@ -1436,7 +1446,19 @@ class VisualOdometry:
         self.lost_count += 1
         self.velocity = SE3.identity()
         tm, new_state, _ = self._run_tracker(pyr, self.prev_T_cw)
-        if int(tm.n_inliers) >= self.o.min_track_inliers:
+        retry_ok = int(tm.n_inliers) >= self.o.min_track_inliers
+        if retry_ok:
+            # Descriptor re-verification (CheckFrameDescriptors,
+            # Matcher.cpp:45-84) — on self-similar texture the direct
+            # retry can latch COHERENTLY onto wrong minima and pass the
+            # chi2 gate ("perceptual aliasing"); photometric latches at
+            # the wrong scene location do not survive an ORB Hamming
+            # check against the landmarks' descriptors.
+            m = self.server.state
+            d = self._jit_desc_check(m.pt_desc, pyr[0], tm.obs_px)
+            consistent = np.asarray(tm.found) & (np.asarray(d) <= 64)
+            retry_ok = int(consistent.sum()) >= self.o.min_track_inliers
+        if retry_ok:
             self.status = Status.GOOD
             self.server.state = new_state
             self.prev_pyr = pyr
@@ -1453,8 +1475,18 @@ class VisualOdometry:
             self.prev_T_cw = r.T_cw
             self.T_cw = r.T_cw
             L = self.o.map_L
-            self.prev_found = jnp.zeros(L, bool)
-            self.prev_obs_px = jnp.zeros((L, 2), jnp.float32)
+            if self._last_reloc_arc_idx is not None:
+                # Archive hit: the active map is elsewhere — restore
+                # the matched keyframe + its landmarks into the window
+                # so tracking continues in the revisited region.
+                found, obs_px = self._reactivate_archived(
+                    self._last_reloc_arc_idx, r.T_cw
+                )
+                self.prev_found = found
+                self.prev_obs_px = obs_px
+            else:
+                self.prev_found = jnp.zeros(L, bool)
+                self.prev_obs_px = jnp.zeros((L, 2), jnp.float32)
             self.velocity = SE3.identity()
             return TrackResult(Status.GOOD, r.T_cw, int(r.n_inliers))
         if self.lost_count > self.o.lost_reset_frames:
@@ -1471,11 +1503,14 @@ class VisualOdometry:
         fid = int(m.kf_id[slot])
         if fid < 0 or self.archive is None:
             return
-        pose7, desc, px, fvalid, pt_pos, pt_ok, angle = (
+        pose7, desc, px, fvalid, pt_pos, pt_ok, angle, level = (
             np.asarray(a) for a in self._jit_arc_snapshot(
                 m, jnp.asarray(slot)
             )
         )
+        img_u8 = np.clip(
+            np.asarray(self.kf_images[slot]), 0, 255
+        ).astype(np.uint8)
         if self.vocab is not None:
             bow = np.asarray(self.kf_bow[slot])
             nodes = np.asarray(self.kf_nodes[slot])
@@ -1484,10 +1519,79 @@ class VisualOdometry:
             nodes = np.full(self.o.map_F, -1, np.int32)
         self.archive.append(
             fid, pose7, bow, nodes, desc, px, fvalid, pt_pos, pt_ok,
-            angle=angle,
+            angle=angle, level=level, image=img_u8,
         )
         self.kf_pose_log[fid] = pose7.copy()
         self.stats["keyframes_archived"] += 1
+
+    def _reactivate_archived(self, arc_idx: int, T_cur: SE3):
+        """Restore an archived keyframe into the active window after an
+        archive relocalization: pose, features, landmark snapshots and
+        the stored image become a live keyframe + landmarks, so
+        tracking CONTINUES in the revisited map region instead of
+        starving against an active map that is somewhere else entirely
+        (the reference's Memory never evicts, so it gets this free).
+
+        Returns (found [L] bool, obs_px [L, 2]) seeds for the sparse
+        aligner's next-frame reference set."""
+        o, srv = self.o, self.server
+        row = self.archive.pop(arc_idx)
+        F, L = o.map_F, o.map_L
+        slot = srv.alloc_kf_slot()
+        ok_np = np.asarray(row["pt_ok"] & row["feat_valid"])
+        rows_np = srv.alloc_landmark_rows(int(ok_np.sum()))
+        n_free = len(rows_np)
+        take = np.where(ok_np)[0][:n_free]
+        fp = np.full(F, -1, np.int32)
+        fp[take] = rows_np[:len(take)]
+        from ..utils import np_se3
+        R, t = np_se3.params7_to_Rt(row["pose7"])
+        z = (row["pt_pos"] @ R.T + t)[:, 2].astype(np.float32)
+        fd = np.where(fp >= 0, z, -1.0).astype(np.float32)
+        srv.state = ms.insert_keyframe(
+            srv.state, slot, row["frame_id"],
+            SE3.from_params7(jnp.asarray(row["pose7"])),
+            jnp.asarray(row["px"]), jnp.asarray(row["level"]),
+            jnp.asarray(row["angle"]), jnp.asarray(row["desc"]),
+            jnp.asarray(fd), jnp.asarray(fp),
+            jnp.asarray(row["feat_valid"]),
+        )
+        srv.kf_used.append(slot)
+        write = jnp.asarray(fp >= 0)
+        srv.state = ms.add_landmarks(
+            srv.state, jnp.asarray(np.clip(fp, 0, L - 1)), write,
+            jnp.asarray(row["pt_pos"]), jnp.asarray(row["desc"]), slot,
+            ref_feat=slot * F + jnp.arange(F, dtype=jnp.int32),
+        )
+        img = row["image"]
+        if img.shape == tuple(self.kf_images.shape[1:]):
+            self.kf_images = self.kf_images.at[slot].set(
+                jnp.asarray(img, jnp.float32)
+            )
+        if self.vocab is not None:
+            self.kf_bow = self.kf_bow.at[slot].set(
+                jnp.asarray(row["bow"])
+            )
+            self.kf_nodes = self.kf_nodes.at[slot].set(
+                jnp.asarray(row["nodes"])
+            )
+        srv.refresh_covisibility()
+        self.last_kf_slot = slot
+        self.frames_since_kf = 0
+        self.seeds = None
+        self._last_kf_fid = int(row["frame_id"])
+        self._last_kf_pose7 = np.asarray(row["pose7"], np.float32)
+        self.kf_pose_log[self._last_kf_fid] = self._last_kf_pose7.copy()
+        self.stats["keyframes_reactivated"] += 1
+        # Seed the sparse aligner: the reactivated landmarks projected
+        # at the relocalized pose are the next frame's reference set.
+        m = srv.state
+        found = jnp.zeros(L, bool)
+        rows_j = jnp.asarray(rows_np[:len(take)])
+        if len(take):
+            found = found.at[rows_j].set(True)
+        obs_px = self.cam.world_to_pixel(m.pt_pos, T_cur)
+        return found, obs_px
 
     def _close_loop_global(self, slot: int, lp):
         """Apply a verified archive loop: pose-graph over the FULL
@@ -1616,6 +1720,7 @@ class VisualOdometry:
             feats.desc, feats.px, feats.valid, feats.angle,
             self.kf_bow, self.kf_nodes, self.server.state,
         )
+        self._last_reloc_arc_idx = None
         if bool(r.success):
             return r
         if self.archive is not None and self.archive.count > 0:
@@ -1627,6 +1732,7 @@ class VisualOdometry:
             )
             if bool(ra.success):
                 self.stats["relocs_archive"] += 1
+                self._last_reloc_arc_idx = int(ra.kf_slot)
                 return ra
         return None
 
