@@ -111,3 +111,71 @@ class TestShardedBA:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+class TestTwoDMesh:
+    def test_2d_host_chip_mesh_matches_1d(self):
+        """2-D (host, chip) mesh — the DCN story: landmarks flatten
+        over both axes, the camera-system psum reduces hierarchically.
+        Result must match the 1-D mesh solve on the same problem."""
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ygz_slam_tpu.geometry import SE3, PinholeCamera, so3
+        from ygz_slam_tpu.parallel import (
+            make_mesh, make_mesh_2d, sharded_local_ba,
+            partition_observations, LANDMARK_AXIS, HOST_AXIS,
+        )
+
+        rng = np.random.default_rng(0)
+        K, L = 4, 32
+        cam = PinholeCamera.create(100.0, 100.0, 64.0, 48.0)
+        pts = np.c_[rng.uniform(-1, 1, (L, 2)),
+                    rng.uniform(3, 5, L)].astype(np.float32)
+        poses = []
+        for k in range(K):
+            poses.append(SE3(
+                so3.exp(jnp.asarray(rng.normal(size=3) * 0.02,
+                                    jnp.float32)),
+                jnp.asarray([0.1 * k, 0, 0], jnp.float32),
+            ))
+        poses = jax.tree.map(lambda *xs: jnp.stack(xs), *poses)
+        pts_j = jnp.asarray(pts)
+        px = jax.vmap(
+            lambda T: cam.world_to_pixel(pts_j, T, distorted=False)
+        )(poses)
+        kf_idx = np.repeat(np.arange(K, dtype=np.int32), L)
+        pt_idx = np.tile(np.arange(L, dtype=np.int32), K)
+        pxf = np.asarray(px).reshape(-1, 2)
+        pxf = pxf + rng.normal(0, 0.2, pxf.shape).astype(np.float32)
+        mask = np.ones(K * L, bool)
+        fixed = jnp.zeros(K, bool).at[0].set(True)
+        noisy = pts_j + jnp.asarray(
+            rng.normal(0, 0.02, pts.shape), jnp.float32
+        )
+
+        def solve(mesh, spec_axes):
+            n_dev = int(np.prod(mesh.devices.shape))
+            sobs, L_pad = partition_observations(
+                kf_idx, pt_idx, pxf, mask, L, n_dev
+            )
+            sh = NamedSharding(mesh, P(spec_axes))
+            pts_s = jax.device_put(jnp.concatenate(
+                [noisy, jnp.zeros((L_pad - L, 3))]
+            ), sh)
+            sobs = jax.tree.map(lambda a: jax.device_put(a, sh), sobs)
+            p, x, chi2 = jax.jit(
+                lambda p, x, o: sharded_local_ba(
+                    mesh, p, x, o, cam, fixed, n_iter=4
+                )
+            )(poses, pts_s, sobs)
+            return np.asarray(p.params7()), np.asarray(x)[:L], float(chi2)
+
+        mesh1 = make_mesh(8)
+        p1, x1, c1 = solve(mesh1, LANDMARK_AXIS)
+        mesh2 = make_mesh_2d(2, 4)
+        p2, x2, c2 = solve(mesh2, (HOST_AXIS, LANDMARK_AXIS))
+        np.testing.assert_allclose(p1, p2, atol=1e-5)
+        np.testing.assert_allclose(x1, x2, atol=1e-4)
+        assert abs(c1 - c2) < 1e-2 * max(abs(c1), 1.0)

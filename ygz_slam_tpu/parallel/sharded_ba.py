@@ -36,7 +36,7 @@ from ..geometry import se3 as se3m
 from ..geometry.se3 import SE3
 from ..geometry import jacobians as jac
 from ..solvers import robust
-from .mesh import LANDMARK_AXIS
+from .mesh import LANDMARK_AXIS, landmark_axes
 
 
 class ShardedObs(NamedTuple):
@@ -144,7 +144,10 @@ def _sharded_local_ba(
     mesh, poses, points, obs, cam, fixed_pose, n_iter, huber_delta,
 ):
     K = fixed_pose.shape[0]
-    ax = LANDMARK_AXIS
+    # 1-D mesh: the landmark axis name; 2-D (host, chip) mesh: the
+    # tuple of both names — PartitionSpec flattens the landmark dim
+    # over them and psum reduces hierarchically (ICI then DCN).
+    ax = landmark_axes(mesh)
 
     def residuals(pose7, pts_l, kf_i, pt_i, px_i, m_i):
         poses_l = SE3.from_params7(pose7)
