@@ -133,10 +133,13 @@ void ms_kf_redundancy(const int32_t* feat_point, const uint8_t* feat_valid,
 
 // Scale-aware keyframe-redundancy scores: an observation of landmark
 // p at pyramid level l only counts as redundant when >= min_obs
-// keyframes observe p at a FINER-OR-EQUAL level (the reference's
-// scaleLeveli <= scaleLevel + 1 refinement inside KeyFrameCulling,
-// LocalMapping.cpp:592-607 — a coarse observation is not made
-// redundant by even coarser ones).
+// keyframes observe p at a FINER-OR-EQUAL level.  NOTE: this is an
+// ORB-SLAM2-style refinement (scaleLeveli <= scaleLevel + 1) that
+// goes BEYOND the reference's KeyFrameCulling, which counts
+// observations with a flat th_obs=3 and no level check
+// (LocalMapping.cpp:592-607); the stricter rule avoids culling
+// keyframes whose coarse observations are only "covered" by even
+// coarser ones.
 // feat_level: [K*F] per-feature detection levels.
 void ms_kf_redundancy_scale(const int32_t* feat_point,
                             const uint8_t* feat_valid,
@@ -165,7 +168,7 @@ void ms_kf_redundancy_scale(const int32_t* feat_point,
   for (int32_t p = 0; p < L; ++p)
     for (int32_t l = 1; l < MAXLVL; ++l)
       counts[(int64_t)p * MAXLVL + l] += counts[(int64_t)p * MAXLVL + l - 1];
-  // The reference allows one level of slack (scaleLevel + 1).
+  // One level of slack (scaleLevel + 1), per the ORB-SLAM2 rule.
   for (int32_t k = 0; k < K; ++k) {
     int32_t linked = 0, redundant = 0;
     for (int32_t f = 0; f < F; ++f) {

@@ -177,11 +177,18 @@ class KeyframeArchive:
         if not self.count:
             return {}
         keys = self._rows[0].keys()
-        return {
+        # 'image' rows can have heterogeneous shapes (full (H,W)
+        # keyframe images vs (1,1) placeholders restored from
+        # pre-image-format maps), so np.stack would raise; store them
+        # under per-row keys instead.
+        out = {
             f"__arc_{k}": np.stack(
                 [np.asarray(r[k]) for r in self._rows]
-            ) for k in keys
+            ) for k in keys if k != "image"
         }
+        for i, r in enumerate(self._rows):
+            out[f"__arc_image_{i}"] = np.asarray(r["image"])
+        return out
 
     def load_state_dict(self, data):
         self._rows = []
@@ -195,12 +202,17 @@ class KeyframeArchive:
         for i in range(n):
             row = {}
             for k in keys:
-                if f"__arc_{k}" in data:
+                if k == "image":
+                    if f"__arc_image_{i}" in data:       # per-row key
+                        row[k] = np.asarray(data[f"__arc_image_{i}"])
+                    elif "__arc_image" in data:          # legacy stacked
+                        row[k] = np.asarray(data["__arc_image"][i])
+                    else:
+                        row[k] = np.zeros((1, 1), np.uint8)
+                elif f"__arc_{k}" in data:
                     row[k] = np.asarray(data[f"__arc_{k}"][i])
                 elif k == "angle":   # maps saved before the field
                     row[k] = np.zeros(self.F, np.float32)
                 elif k == "level":
                     row[k] = np.zeros(self.F, np.int32)
-                elif k == "image":
-                    row[k] = np.zeros((1, 1), np.uint8)
             self._rows.append(row)

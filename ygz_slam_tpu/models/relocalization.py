@@ -51,6 +51,7 @@ def relocalize(
     min_inliers: int = 20,
     feat_angle_flat=None,  # [K*F] ORB angles (rotation gate when given)
     q_angle=None,
+    top_c: int = 3,
 ) -> RelocResult:
     """One-shot relocalization attempt (jittable).
 
@@ -66,11 +67,10 @@ def relocalize(
     q_bow = voc.bow_vector(vocab, words, q_valid)
     scores = voc.score_l1(q_bow[None, :], kf_bow)          # [K]
     scores = jnp.where(kf_valid, scores, -1.0)
-    # Evaluate the TOP_C BoW candidates (BoW similarity alone is not
+    # Evaluate the top_c BoW candidates (BoW similarity alone is not
     # discriminative enough in self-similar scenes; ORB-SLAM's
     # relocalization also geometrically checks several candidates).
-    TOP_C = 3
-    _, cand_kfs = jax.lax.top_k(scores, TOP_C)
+    _, cand_kfs = jax.lax.top_k(scores, top_c)
 
     def try_candidate(kf):
         rows = kf * F + jnp.arange(F)
@@ -117,6 +117,7 @@ def relocalize_archive(
     arc,                    # map.archive.ArchiveView
     min_inliers: int = 20,
     q_angle=None,
+    top_c: int = 3,
 ) -> RelocResult:
     """Relocalization against the ARCHIVED (evicted) keyframes — the
     global-map tier the reference gets for free from its keep-everything
@@ -133,8 +134,7 @@ def relocalize_archive(
     q_bow = voc.bow_vector(vocab, words, q_valid)
     scores = voc.score_l1(q_bow[None, :], arc.bow)
     scores = jnp.where(arc.valid, scores, -1.0)
-    TOP_C = 3
-    _, cand = jax.lax.top_k(scores, TOP_C)
+    _, cand = jax.lax.top_k(scores, top_c)
 
     def try_candidate(a):
         c_valid = arc.feat_valid[a] & arc.pt_ok[a]

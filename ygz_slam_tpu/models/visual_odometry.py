@@ -123,6 +123,12 @@ class VOOptions:
     kf_max_rot: float = 0.1               # keyframe.max_rot (yaml :61)
     kf_max_trans: float = 0.1             # keyframe.max_trans (:62)
     max_alignment_motion: float = 0.2     # Matcher.h:30
+    max_step_motion: float = 0.2      # whole-step anti-aliasing gate on
+                                      # the pose-BA correction (twist
+                                      # norm, MAP units — monocular maps
+                                      # are mean-depth-1; raise for
+                                      # metric-scale RGBD/stereo or
+                                      # low-frame-rate sequences)
     map_K: int = 10
     map_F: int = 256
     map_L: int = 2000
@@ -133,6 +139,12 @@ class VOOptions:
                                       # features (legacy C22, wired)
     use_vocabulary: bool = True       # BoW for reloc + loop closing
     reloc_min_inliers: int = 20
+    reloc_top_c: int = 3              # BoW candidates geometrically
+                                      # verified per reloc attempt
+    lost_desc_max_dist: int = 64      # Hamming bound for the lost-retry
+                                      # descriptor re-verification
+    kf_cull_min_window: int = 4       # KeyFrameCulling keeps at least
+                                      # this many keyframes
     loop_closing: bool = True         # detect+close loops at keyframes
     loop_min_inliers: int = 25
     archive_map: bool = True          # global tier above the window:
@@ -322,6 +334,7 @@ class VisualOdometry:
             tm = fe.track_local_map(
                 cur_pyr, cam, tr.T_cw, mstate.pt_pos, mstate.pt_valid,
                 patches, patch_ok, search_lvl,
+                max_step_motion=o.max_step_motion,
             )
             # (d) landmark statistics (MapPoint _cnt_visible/_cnt_found).
             mstate = mstate._replace(
@@ -421,6 +434,7 @@ class VisualOdometry:
                     feats,
                     radius_coarse=o.orb_match_radius,
                     max_dist=o.orb_max_hamming,
+                    max_step_motion=o.max_step_motion,
                 )
                 mstate = mstate._replace(
                     pt_visible=mstate.pt_visible
@@ -468,6 +482,7 @@ class VisualOdometry:
                 tm = fe.track_local_map(
                     cur_pyr, cam, tr.T_cw, mstate.pt_pos,
                     mstate.pt_valid, patches, patch_ok, search_lvl,
+                    max_step_motion=o.max_step_motion,
                 )
                 mstate = mstate._replace(
                     pt_visible=mstate.pt_visible
@@ -576,6 +591,7 @@ class VisualOdometry:
                     min_inliers=o.reloc_min_inliers,
                     feat_angle_flat=mstate.feat_angle.reshape(-1),
                     q_angle=q_angle,
+                    top_c=o.reloc_top_c,
                 )
 
             @jax.jit
@@ -604,6 +620,7 @@ class VisualOdometry:
                 return reloc.relocalize_archive(
                     vocab, cam, q_desc, q_px, q_valid, arc,
                     min_inliers=o.reloc_min_inliers, q_angle=q_angle,
+                    top_c=o.reloc_top_c,
                 )
 
             @jax.jit
@@ -1419,11 +1436,13 @@ class VisualOdometry:
     def _cull_keyframes(self, protect, redundancy_th: float = 0.9):
         """KeyFrameCulling (LocalMapping.cpp:579-618): evict keyframes
         >90% of whose landmarks are seen by >=3 other keyframes.  Uses
-        the native redundancy scorer; keeps a minimum window of 4."""
+        the native redundancy scorer; keeps a minimum window of
+        `kf_cull_min_window` keyframes."""
         from .. import native
 
         srv = self.server
-        if len(srv.kf_used) <= 4:
+        min_win = self.o.kf_cull_min_window
+        if len(srv.kf_used) <= min_win:
             return
         m = srv.state
         # Scale-aware rule: only finer-or-equal-level observations
@@ -1433,7 +1452,7 @@ class VisualOdometry:
             np.asarray(m.feat_level), L=self.o.map_L, min_obs=4,
         )
         for slot in list(srv.kf_used):
-            if slot in protect or len(srv.kf_used) <= 4:
+            if slot in protect or len(srv.kf_used) <= min_win:
                 continue
             if scores[slot] > redundancy_th:
                 srv.evict_kf(slot)
@@ -1456,7 +1475,8 @@ class VisualOdometry:
             # check against the landmarks' descriptors.
             m = self.server.state
             d = self._jit_desc_check(m.pt_desc, pyr[0], tm.obs_px)
-            consistent = np.asarray(tm.found) & (np.asarray(d) <= 64)
+            consistent = (np.asarray(tm.found)
+                          & (np.asarray(d) <= self.o.lost_desc_max_dist))
             retry_ok = int(consistent.sum()) >= self.o.min_track_inliers
         if retry_ok:
             self.status = Status.GOOD

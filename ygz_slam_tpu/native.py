@@ -174,10 +174,12 @@ def kf_redundancy(feat_point, feat_valid, pt_obs, min_obs: int = 4):
 
 def kf_redundancy_scale(feat_point, feat_valid, feat_level,
                         L: int, min_obs: int = 4):
-    """Scale-aware redundancy scores (KeyFrameCulling's
-    finer-or-equal-level rule, LocalMapping.cpp:592-607): an
-    observation only counts as redundant when >= min_obs keyframes see
-    the landmark at pyramid level <= its own level + 1."""
+    """Scale-aware redundancy scores: an observation only counts as
+    redundant when >= min_obs keyframes see the landmark at pyramid
+    level <= its own level + 1.  This is an ORB-SLAM2-style
+    refinement beyond the reference's KeyFrameCulling, which uses a
+    flat th_obs=3 observation count with no level check
+    (LocalMapping.cpp:592-607)."""
     lib = _load()
     feat_point = np.ascontiguousarray(feat_point, np.int32)
     feat_valid = np.ascontiguousarray(feat_valid, np.uint8)

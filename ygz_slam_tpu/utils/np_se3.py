@@ -29,21 +29,45 @@ def params7_to_Rt(p: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def Rt_to_params7(R: np.ndarray, t: np.ndarray) -> np.ndarray:
-    """(R [..., 3, 3], t [..., 3]) -> [..., 7]; batched (Shepperd)."""
+    """(R [..., 3, 3], t [..., 3]) -> [..., 7]; batched.
+
+    Full four-branch Shepperd method: branch on the largest of
+    (tr, m00, m11, m22) per element and derive the remaining
+    components from off-diagonal SUMS for that branch.  A
+    copysign-on-antisymmetric-terms shortcut fails for 180-degree
+    rotations (R21-R12 = 4wx etc. all vanish there), mis-signing the
+    axis — this path feeds trajectory anchoring and pose-graph edges,
+    so it must be exact everywhere on SO(3)."""
     R = np.asarray(R, np.float64)
     t = np.asarray(t, np.float64)
     m00, m11, m22 = R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]
+    m01, m02, m10 = R[..., 0, 1], R[..., 0, 2], R[..., 1, 0]
+    m12, m20, m21 = R[..., 1, 2], R[..., 2, 0], R[..., 2, 1]
     tr = m00 + m11 + m22
-    # Four branch candidates, pick per-element the numerically safest.
-    qw = np.sqrt(np.maximum(1.0 + tr, 0.0)) / 2.0
-    qx = np.sqrt(np.maximum(1.0 + m00 - m11 - m22, 0.0)) / 2.0
-    qy = np.sqrt(np.maximum(1.0 - m00 + m11 - m22, 0.0)) / 2.0
-    qz = np.sqrt(np.maximum(1.0 - m00 - m11 + m22, 0.0)) / 2.0
-    qx = np.copysign(qx, R[..., 2, 1] - R[..., 1, 2])
-    qy = np.copysign(qy, R[..., 0, 2] - R[..., 2, 0])
-    qz = np.copysign(qz, R[..., 1, 0] - R[..., 0, 1])
-    q = np.stack([qw, qx, qy, qz], axis=-1)
+
+    def _s(x):
+        return 2.0 * np.sqrt(np.maximum(x, 1e-12))
+
+    s0 = _s(1.0 + tr)                  # branch 0: qw dominant
+    c0 = np.stack([s0 / 4, (m21 - m12) / s0,
+                   (m02 - m20) / s0, (m10 - m01) / s0], axis=-1)
+    s1 = _s(1.0 + m00 - m11 - m22)     # branch 1: qx dominant
+    c1 = np.stack([(m21 - m12) / s1, s1 / 4,
+                   (m01 + m10) / s1, (m02 + m20) / s1], axis=-1)
+    s2 = _s(1.0 - m00 + m11 - m22)     # branch 2: qy dominant
+    c2 = np.stack([(m02 - m20) / s2, (m01 + m10) / s2,
+                   s2 / 4, (m12 + m21) / s2], axis=-1)
+    s3 = _s(1.0 - m00 - m11 + m22)     # branch 3: qz dominant
+    c3 = np.stack([(m10 - m01) / s3, (m02 + m20) / s3,
+                   (m12 + m21) / s3, s3 / 4], axis=-1)
+
+    branch = np.argmax(np.stack([tr, m00, m11, m22], axis=-1), axis=-1)
+    cands = np.stack([c0, c1, c2, c3], axis=-2)  # [..., 4branch, 4q]
+    q = np.take_along_axis(
+        cands, branch[..., None, None], axis=-2)[..., 0, :]
     q = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    # Canonical sign: w >= 0 (params7 convention elsewhere).
+    q = q * np.where(q[..., :1] < 0, -1.0, 1.0)
     return np.concatenate([q, t], axis=-1).astype(np.float64)
 
 
