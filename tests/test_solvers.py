@@ -290,3 +290,76 @@ class TestNormalScale:
         r2 = jnp.concatenate([r[:2000], 100.0 * jnp.ones(2000)])
         s2 = float(robust.normal_scale(r2, mask))
         assert abs(s2 - 2.5) < 0.2, s2
+
+
+class TestOptimizeCurrent:
+    """optimize_current (BA.cpp:91-186): one free pose + its observed
+    landmarks, anchored by fixed-keyframe observations."""
+
+    def _fixture(self, seed=0):
+        import numpy as np
+        from ygz_slam_tpu.geometry import PinholeCamera, se3
+        rng = np.random.default_rng(seed)
+        cam = PinholeCamera.create(320.0, 320.0, 160.0, 120.0)
+        K, L = 4, 60
+        gt_pts = np.concatenate(
+            [rng.uniform(-1.5, 1.5, (L, 2)), rng.uniform(2.5, 5, (L, 1))],
+            1).astype(np.float32)
+        gt_poses = [se3.exp(jnp.asarray(
+            [0.15 * k, 0.02 * k, 0.05 * k, 0.01 * k, -0.02 * k, 0.0],
+            jnp.float32)) for k in range(K)]
+        poses = jax.tree.map(lambda *xs: jnp.stack(xs), *gt_poses)
+        kf_idx, pt_idx, px = [], [], []
+        for k in range(K):
+            p = np.asarray(gt_poses[k].apply(gt_pts))
+            uv = np.array(cam.camera_to_pixel(jnp.asarray(p)))
+            uv += rng.normal(0, 0.3, uv.shape)
+            kf_idx += [k] * L
+            pt_idx += list(range(L))
+            px.append(uv.astype(np.float32))
+        obs = bam.Observations(
+            kf_idx=jnp.asarray(kf_idx, jnp.int32),
+            pt_idx=jnp.asarray(pt_idx, jnp.int32),
+            px=jnp.concatenate([jnp.asarray(p) for p in px]),
+            mask=jnp.ones(K * L, bool),
+        )
+        return cam, poses, gt_poses, jnp.asarray(gt_pts), obs
+
+    def test_recovers_perturbed_current_pose(self):
+        cam, poses, gt_poses, gt_pts, obs = self._fixture()
+        cur = 3
+        # Perturb the current pose and the landmarks.
+        noisy = jax.tree.map(lambda a: a, poses)
+        T_bad = se3.boxplus(
+            gt_poses[cur],
+            jnp.asarray([0.05, -0.04, 0.03, 0.01, -0.01, 0.02]))
+        noisy = jax.tree.map(
+            lambda full, bad: full.at[cur].set(bad), noisy, T_bad)
+        pts_noisy = gt_pts + 0.02 * jax.random.normal(
+            jax.random.PRNGKey(0), gt_pts.shape)
+        res = bam.optimize_current(noisy, pts_noisy, obs, cam, cur,
+                                  n_iter=15)
+        err = float(se3.distance(
+            jax.tree.map(lambda a: a[cur], res.poses), gt_poses[cur]))
+        err0 = float(se3.distance(T_bad, gt_poses[cur]))
+        assert err < 0.2 * err0, (err, err0)
+        # Other poses must be untouched (gauge-fixed).
+        for k in range(3):
+            d = float(se3.distance(
+                jax.tree.map(lambda a: a[k], res.poses), gt_poses[k]))
+            assert d < 1e-6, (k, d)
+
+    def test_unseen_points_frozen(self):
+        cam, poses, gt_poses, gt_pts, obs = self._fixture()
+        cur = 3
+        # Mask out the current frame's observations of points >= 30:
+        # those landmarks must not move even though keyframe
+        # observations of them exist in the table.
+        keep = ~((obs.kf_idx == cur) & (obs.pt_idx >= 30))
+        obs = obs._replace(mask=obs.mask & keep)
+        pts_noisy = gt_pts + 0.05
+        res = bam.optimize_current(poses, pts_noisy, obs, cam, cur,
+                                  n_iter=8)
+        moved = np.abs(np.asarray(res.points) - np.asarray(pts_noisy))
+        assert moved[30:].max() < 1e-7, moved[30:].max()
+        assert moved[:30].max() > 1e-3  # observed ones did move

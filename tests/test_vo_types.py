@@ -176,3 +176,46 @@ class TestDenseMap:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
+
+
+class TestOrbSecondChance:
+    """When the motion-model projection window misses, SPARSE_ORB must
+    re-search with a widened window before declaring LOST (the role
+    SearchByBoW-based TrackReferenceKeyFrame plays in ORB-SLAM)."""
+
+    def _spiked_sequence(self, n, spike_at, spike=0.25, horizon=24):
+        from ygz_slam_tpu.geometry import se3
+        from test_vo import make_trajectory
+        scene = PlaneScene(CAM, plane_z=3.0, seed=0)
+        # Trajectory dynamics are set by `horizon` (make_trajectory
+        # scales with its argument); only the first n frames render.
+        poses = make_trajectory(horizon)[:n]
+        # Step change: every pose from spike_at on shifts laterally by
+        # `spike` meters (projection jump ~ f*spike/z ~ 27 px — outside
+        # the 15 px coarse window, inside the widened one).
+        dT = se3.exp(jnp.asarray([spike, 0, 0, 0, 0, 0], jnp.float32))
+        poses = [p if k < spike_at else dT.compose(p)
+                 for k, p in enumerate(poses)]
+        imgs = [scene.render(T, SHAPE) for T in poses]
+        return poses, imgs
+
+    def test_wide_research_recovers_spike(self):
+        n, spike_at = 13, 10
+        poses, imgs = self._spiked_sequence(n, spike_at)
+
+        def run(second_chance):
+            vo = VisualOdometry(CAM, VOOptions(
+                vo_type=VOType.SPARSE_ORB,
+                orb_second_chance=second_chance, **VO_OPTS))
+            st = [vo.add_frame(im, float(k)).status
+                  for k, im in enumerate(imgs)]
+            return vo, st
+
+        vo_on, st_on = run(True)
+        # The widened pass absorbs the window miss at the spike frame
+        # (later frames may still degrade from reduced map overlap —
+        # that is the reloc cascade's job, not this fallback's).
+        assert st_on[spike_at] == Status.GOOD, st_on
+        assert vo_on.stats["orb_second_chance_hits"] >= 1
+        vo_off, st_off = run(False)
+        assert st_off[spike_at] == Status.LOST, st_off

@@ -157,6 +157,11 @@ class VOOptions:
     vo_type: VOType = VOType.SPARSE_DIRECT   # system.vo (yaml :10)
     map_type: MapType = MapType.SPARSE       # system.map (yaml :12)
     orb_match_radius: float = 15.0    # SPARSE_ORB projection window
+    orb_second_chance: bool = True    # widened re-search before LOST
+                                      # (the SearchByBoW-style fallback
+                                      # ORB-SLAM tracking uses when the
+                                      # motion-model window misses)
+    orb_wide_radius_mult: float = 3.0 # window multiplier for it
     orb_max_hamming: int = 80         # projection matching threshold
                                       # (ORB-SLAM's TH_HIGH regime; the
                                       # BoW TH_LOW=50 stays in hamming
@@ -443,7 +448,34 @@ class VisualOdometry:
                 )
                 return tm, mstate
 
+            @jax.jit
+            def _track_orb_wide(cur_pyr, T_pred7, mstate):
+                """Second-chance SPARSE_ORB pass: when the
+                motion-model window misses (fast motion, shutter
+                jump), re-search with a much wider window, relaxed
+                Hamming bound and a doubled step gate — the role
+                SearchByBoW's window-free frame matching plays in
+                ORB-SLAM's TrackReferenceKeyFrame fallback.  Map-point
+                counters are NOT advanced here (a failed wide pass
+                should not depress found-ratios)."""
+                T_pred = SE3.from_params7(T_pred7)
+                feats = fe.detect_multilevel(
+                    cur_pyr, o.detect_threshold, o.grid_cell,
+                    o.feat_budgets,
+                )
+                return orbtrack.track_map_orb(
+                    cur_pyr[0].shape, cam, T_pred,
+                    mstate.pt_pos, mstate.pt_valid, mstate.pt_desc,
+                    feats,
+                    radius_coarse=o.orb_match_radius
+                    * o.orb_wide_radius_mult,
+                    radius_fine=6.0 * o.orb_wide_radius_mult,
+                    max_dist=min(o.orb_max_hamming + 20, 128),
+                    max_step_motion=2.0 * o.max_step_motion,
+                )
+
             self._jit_track_orb = _track_orb
+            self._jit_track_orb_wide = _track_orb_wide
 
         if (o.vo_type is VOType.SEMI_DENSE_DIRECT
                 or o.map_type is not MapType.SPARSE):
@@ -1102,6 +1134,24 @@ class VisualOdometry:
         T_pred = self.velocity.compose(self.prev_T_cw)
         tm, new_state, align_ok = self._run_tracker(pyr, T_pred)
         n_inl = int(tm.n_inliers)
+        if (n_inl < o.min_track_inliers
+                and o.vo_type is VOType.SPARSE_ORB
+                and o.orb_second_chance):
+            # Widened second-chance search seeded at the PREVIOUS pose
+            # (motion model dropped — it is what just failed).
+            tm2 = self._jit_track_orb_wide(
+                pyr, self.prev_T_cw.params7(), self.server.state
+            )
+            n2 = int(tm2.n_inliers)
+            if n2 >= o.min_track_inliers:
+                self.stats["orb_second_chance_hits"] += 1
+                tm, n_inl = tm2, n2
+                new_state = self.server.state._replace(
+                    pt_visible=self.server.state.pt_visible
+                    + tm2.candidate.astype(jnp.int32),
+                    pt_found=self.server.state.pt_found
+                    + tm2.found.astype(jnp.int32),
+                )
         if n_inl < o.min_track_inliers:
             self.status = Status.LOST
             self.lost_count = 0

@@ -8,6 +8,7 @@ from .ba import (
     Observations,
     pose_only_ba,
     point_only_ba,
+    optimize_current,
     local_ba,
     two_view_ba,
 )
@@ -21,6 +22,7 @@ __all__ = [
     "Observations",
     "pose_only_ba",
     "point_only_ba",
+    "optimize_current",
     "local_ba",
     "two_view_ba",
 ]

@@ -4,6 +4,7 @@ local BA with Schur-complement landmark marginalization.
 TPU-native replacement for the reference's `namespace ba` free
 functions (include/ygz/Algorithm/BA.h:10-67, src/Algorithm/BA.cpp):
  - TwoViewBACeres        -> two_view_ba        (BA.cpp:11-89)
+ - OptimizeCurrent       -> optimize_current   (BA.cpp:91-186)
  - OptimizeCurrentPoseOnly -> pose_only_ba     (BA.cpp:188-264, the
    ORB-style 4-round optimize/chi2-reclassify loop, threshold 5.991)
  - OptimizeCurrentPointOnly -> point_only_ba   (BA.cpp:266-322)
@@ -281,13 +282,15 @@ class BAResult(NamedTuple):
     inlier: jnp.ndarray  # [O] final per-observation inlier mask
 
 
-def _assemble(poses, points, obs, cam, fixed_pose, huber_delta, K, L, w_frozen=None):
+def _assemble(poses, points, obs, cam, fixed_pose, huber_delta, K, L,
+              w_frozen=None, fixed_point=None):
     """Build all Hessian blocks and gradients for the current state.
 
     If `w_frozen` is given, it is used as the (already masked) IRLS
     weight vector instead of recomputing weights from the current
     residuals — needed so LM accept/reject compares chi2 under one
-    consistent objective.
+    consistent objective.  `fixed_point` ([L] bool) freezes landmark
+    blocks the same way `fixed_pose` freezes cameras.
     """
     r, Jp, Jl, valid = reproject(poses, points, obs, cam)
     if w_frozen is None:
@@ -297,6 +300,11 @@ def _assemble(poses, points, obs, cam, fixed_pose, huber_delta, K, L, w_frozen=N
     # Zero out Jacobians of fixed cameras (gauge fixing).
     free = (~fixed_pose)[obs.kf_idx].astype(Jp.dtype)
     Jp = Jp * free[:, None, None]
+    if fixed_point is not None:
+        # Zeroed landmark Jacobians -> zero Hll/W/bl blocks; with LM
+        # damping on Hll the back-substituted update is exactly zero.
+        freep = (~fixed_point)[obs.pt_idx].astype(Jl.dtype)
+        Jl = Jl * freep[:, None, None]
     Hcc_o = jnp.einsum("oia,o,oib->oab", Jp, w, Jp)            # [O,6,6]
     Hll_o = jnp.einsum("oia,o,oib->oab", Jl, w, Jl)            # [O,3,3]
     Hcl_o = jnp.einsum("oia,o,oib->oab", Jp, w, Jl)            # [O,6,3]
@@ -362,6 +370,7 @@ def local_ba(
     n_iter: int = 10,
     huber_delta: float = jnp.sqrt(CHI2_2D),
     chi2_th: float = CHI2_2D,
+    fixed_point: jnp.ndarray | None = None,
 ) -> BAResult:
     """Windowed bundle adjustment over SE3[K] poses and [L,3] landmarks
     with an LM accept/reject schedule, replacing LocalBAG2O
@@ -378,11 +387,11 @@ def local_ba(
     # (MATMUL_PRECISION above).
     with jax.default_matmul_precision(MATMUL_PRECISION):
         return _local_ba(poses, points, obs, cam, fixed_pose, n_iter,
-                         huber_delta, chi2_th)
+                         huber_delta, chi2_th, fixed_point)
 
 
 def _local_ba(poses, points, obs, cam, fixed_pose, n_iter,
-              huber_delta, chi2_th):
+              huber_delta, chi2_th, fixed_point=None):
     K, L = fixed_pose.shape[0], points.shape[0]
 
     def body(carry, _):
@@ -392,13 +401,15 @@ def _local_ba(poses, points, obs, cam, fixed_pose, n_iter,
         r, _, _, valid = reproject(T, pts, obs, cam)
         w_frozen = _irls_weights(r, valid, huber_delta)
         Hcc, Hll, W, bc, bl, chi2_old_w = _assemble(
-            T, pts, obs, cam, fixed_pose, huber_delta, K, L, w_frozen
+            T, pts, obs, cam, fixed_pose, huber_delta, K, L, w_frozen,
+            fixed_point
         )
         dc, dl = _schur_solve(Hcc, Hll, W, bc, bl, fixed_pose, lam)
         T_new = jax.vmap(se3m.boxplus)(T, dc)
         pts_new = pts + dl
         _, _, _, _, _, chi2_new = _assemble(
-            T_new, pts_new, obs, cam, fixed_pose, huber_delta, K, L, w_frozen
+            T_new, pts_new, obs, cam, fixed_pose, huber_delta, K, L,
+            w_frozen, fixed_point
         )
         chi2_old = chi2_old_w
         accept = chi2_new < chi2_old
@@ -424,6 +435,54 @@ def _local_ba(poses, points, obs, cam, fixed_pose, n_iter,
     r, _, _, valid = reproject(T, pts, obs, cam)
     inlier = valid & (jnp.sum(r * r, axis=-1) < chi2_th)
     return BAResult(poses=T, points=pts, chi2=chi2, inlier=inlier)
+
+
+def optimize_current(
+    poses: SE3,
+    points: jnp.ndarray,
+    obs: Observations,
+    cam,
+    cur_k,
+    n_iter: int = 10,
+    huber_delta: float = jnp.sqrt(CHI2_2D),
+    chi2_th: float = 4.0 * CHI2_2D,
+) -> BAResult:
+    """Joint refinement of ONE camera pose plus the landmarks it
+    observes (OptimizeCurrent, BA.cpp:91-186).
+
+    The reference builds a Ceres problem with (a) pose+point residuals
+    for every current-frame feature and (b) point-only residuals from
+    each landmark's other keyframe observations (those keyframes'
+    poses enter as constants), solved with DENSE_SCHUR and a final
+    chi2 classification at 4*5.991 px^2.  Here that is exactly the
+    windowed Schur BA with every pose but `cur_k` gauge-fixed and
+    every landmark NOT observed by `cur_k` frozen: observations from
+    fixed cameras reduce to the reference's point-only anchor
+    residuals, and the one-free-camera reduced system is a 6x6 solve.
+
+    Args:
+      poses: SE3[K] all camera poses (only `cur_k` moves).
+      points: [L, 3] landmarks (only those observed by `cur_k` move).
+      obs: observation table covering the current frame AND the
+        anchoring keyframe observations of its landmarks.
+      cur_k: int index of the free camera.
+    Returns:
+      BAResult: updated poses/points and the per-observation inlier
+      mask at `chi2_th` (classification only; residuals are not
+      disabled mid-solve — Huber does the down-weighting, as in the
+      reference where the 4-round re-enable loop is commented out).
+    """
+    K = jax.tree.leaves(poses)[0].shape[0]
+    L = points.shape[0]
+    fixed_pose = jnp.arange(K) != cur_k
+    seen = jnp.zeros(L, bool).at[obs.pt_idx].max(
+        (obs.kf_idx == cur_k) & obs.mask
+    )
+    return local_ba(
+        poses, points, obs, cam, fixed_pose,
+        n_iter=n_iter, huber_delta=huber_delta, chi2_th=chi2_th,
+        fixed_point=~seen,
+    )
 
 
 def two_view_ba(
