@@ -118,6 +118,7 @@ class TestLoopMachinery:
             found=jnp.asarray(True),
             loop_kf=jnp.asarray(0),
             T_loop7=T_loop.params7(),
+            scale=jnp.asarray(1.0),
         )
         pt_pos = jnp.asarray(rng.uniform(-1, 1, (20, 3)), jnp.float32)
         pt_valid = jnp.ones(20, bool)
@@ -145,3 +146,71 @@ class TestLoopMachinery:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+class TestKidnappedPnP:
+    """Pose-prior-free relocalization (P3P RANSAC): a camera returning
+    UPSIDE DOWN (roll 180 deg — ORB's steered BRIEF still matches) with
+    a lateral offset is >170 deg of rotation from every stored keyframe
+    pose.  A GN solve seeded at the stored pose cannot cross that
+    basin: it converges to an ALIASED pose that still collects inlier-
+    count support (a false-positive relocalization, the worst failure
+    mode).  The P3P-RANSAC seed computed from the 2D-3D matches alone
+    recovers the true pose.  Reference recipe slot:
+    src/Module/VisualOdometry.cpp:101-104 (empty TODO)."""
+
+    def test_upside_down_revisit(self):
+        from ygz_slam_tpu.models import relocalization as rl
+        from ygz_slam_tpu.models import frontend as fe
+        scene = PlaneScene(CAM, plane_z=3.0, seed=8)
+        poses = trajectory(20)
+        vo = VisualOdometry(CAM, VOOptions(
+            init_min_disparity=15.0, kf_min_frames=4, kf_max_trans=0.03,
+        ))
+        for k in range(20):
+            vo.add_frame(scene.render(poses[k], SHAPE), float(k))
+        assert vo.status == Status.GOOD
+        # Map scale (monocular maps are mean-depth-1).
+        slot = vo.server.kf_used[-1]
+        fid = int(np.asarray(vo.server.state.kf_id[slot]))
+        kf7 = np.asarray(vo.server.state.kf_pose7[slot])
+        s_map = np.linalg.norm(kf7[4:7]) / max(
+            float(np.linalg.norm(np.asarray(poses[fid].t))), 1e-9)
+        # Query: upside-down camera with a lateral offset, aimed at the
+        # mapped plane region.
+        c = np.asarray([0.5, -0.1, 0.1], np.float32)
+        target = np.asarray([0.15, 0.0, 3.0], np.float32)
+        fwd = target - c
+        fwd /= np.linalg.norm(fwd)
+        right = np.cross([0, 1, 0], fwd)
+        right /= np.linalg.norm(right)
+        down = np.cross(fwd, right)
+        R_wc = np.stack([right, down, fwd], 1).astype(np.float32)
+        Rz = np.asarray([[-1, 0, 0], [0, -1, 0], [0, 0, 1]], np.float32)
+        R_cw = Rz @ R_wc.T
+        T_q_world = SE3(jnp.asarray(R_cw), jnp.asarray(-R_cw @ c))
+        T_q_map = SE3(T_q_world.R, T_q_world.t * s_map)
+        img = scene.render(T_q_world, SHAPE)
+        feats = vo._jit_detect_free(fe.preprocess(img, 3))
+        m = vo.server.state
+
+        def run(use_pnp):
+            return rl.relocalize(
+                vo.vocab, CAM, feats.desc, feats.px, feats.valid,
+                vo.kf_bow, m.kf_valid, m.kf_pose7,
+                m.feat_desc.reshape(-1, 8), vo.kf_nodes.reshape(-1),
+                m.feat_point.reshape(-1), m.feat_valid.reshape(-1),
+                m.pt_pos, m.pt_valid, min_inliers=15,
+                feat_angle_flat=m.feat_angle.reshape(-1),
+                q_angle=feats.angle, use_pnp=use_pnp)
+
+        r_pnp = run(True)
+        err_pnp = float(se3.distance(r_pnp.T_cw, T_q_map))
+        assert bool(r_pnp.success), int(r_pnp.n_inliers)
+        assert err_pnp < 0.05, err_pnp
+        # Without the PnP seed the solve must NOT produce the true
+        # pose (it either fails or lands in an aliased basin far away).
+        r_pri = run(False)
+        err_pri = float(se3.distance(r_pri.T_cw, T_q_map))
+        assert (not bool(r_pri.success)) or err_pri > 10 * err_pnp, (
+            err_pri, err_pnp)

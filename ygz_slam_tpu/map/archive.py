@@ -131,24 +131,30 @@ class KeyframeArchive:
     def frame_ids(self) -> np.ndarray:
         return np.asarray([r["frame_id"] for r in self._rows], np.int32)
 
-    def set_poses7(self, pose7: np.ndarray, reanchor: bool = True):
+    def set_poses7(self, pose7: np.ndarray, reanchor: bool = True,
+                   scale=None):
         """Overwrite archived poses after a global correction.
 
         With `reanchor`, each row's snapshotted landmark positions are
         moved with their keyframe (p' = T_new^-1 T_old p), keeping
         archived relocalization/loop candidates consistent with the
-        corrected world frame."""
+        corrected world frame.  `scale` ([count] per-keyframe Sim(3)
+        correction scales) makes the anchor a similarity: points also
+        rescale, p' = S_new^-1(T_old p) with S_new = (R_new,
+        s*t_new, s), i.e. p' = R_new^T (p_cam/s - t_new)."""
         from ..utils import np_se3
 
         assert pose7.shape[0] == self.count
         new = np.asarray(pose7, np.float32)
-        for r, p in zip(self._rows, new):
+        sc = (np.ones(self.count, np.float32) if scale is None
+              else np.asarray(scale, np.float32))
+        for r, p, s_k in zip(self._rows, new, sc):
             if reanchor and r["pt_ok"].any():
                 R_old, t_old = np_se3.params7_to_Rt(r["pose7"])
                 R_new, t_new = np_se3.params7_to_Rt(p)
                 p_cam = r["pt_pos"] @ R_old.T + t_old
                 r["pt_pos"] = (
-                    (p_cam - t_new) @ R_new
+                    (p_cam / s_k - t_new) @ R_new
                 ).astype(np.float32)
             r["pose7"] = p.copy()
         self._view = None

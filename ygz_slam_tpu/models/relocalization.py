@@ -52,14 +52,21 @@ def relocalize(
     feat_angle_flat=None,  # [K*F] ORB angles (rotation gate when given)
     q_angle=None,
     top_c: int = 3,
+    use_pnp: bool = True,
+    pnp_hyps: int = 256,
 ) -> RelocResult:
     """One-shot relocalization attempt (jittable).
 
     1. BoW-score the query against every keyframe, take the best.
     2. Node-gated Hamming matching of query descriptors against that
        keyframe's landmark-bearing features.
-    3. Robust pose-only BA from the keyframe's pose; accept on inlier
-       count (the reference's TrackLocalMap gate logic).
+    3. Pose-prior-free P3P RANSAC over the 2D-3D matches (use_pnp)
+       seeds a robust pose-only BA; accept on inlier count.  The
+       stored keyframe pose is only the FALLBACK seed — a GN solve
+       started from a distant basin cannot recover a genuinely
+       kidnapped camera (the wide-baseline case relocalization exists
+       for; the reference's TODO recipe at VisualOdometry.cpp:101-104
+       is exactly a PnP solver here).
     """
     K = kf_valid.shape[0]
     F = feat_valid_flat.shape[0] // K
@@ -80,12 +87,18 @@ def relocalize(
         c_valid = feat_valid_flat[rows] & (c_point >= 0)
         pt_safe = jnp.clip(c_point, 0, pt_pos.shape[0] - 1)
         c_valid = c_valid & pt_valid[pt_safe]
-        # Permissive matching (no ratio test): in self-similar scenes
-        # the ratio test starves the matcher; the robust pose solve
-        # (Tukey+MAD round + chi2 reclassification) does the rejection.
-        idx, ok = voc.match_by_nodes(
-            q_desc, nodes, q_valid, c_desc, c_nodes, c_valid,
-            max_dist=64, ratio=1.0,
+        # Permissive matching: no ratio test (it starves in
+        # self-similar scenes) and NO vocabulary-node gate — DBoW3's
+        # node gating buys SPEED on a CPU, but at F=256 the full
+        # Hamming matrix is 65k popcounts on the VPU, and descriptor
+        # noise under large viewpoint/roll change flips node
+        # assignments, silently dropping true pairs exactly when
+        # relocalization is most desperate.  The robust pose solve
+        # (P3P RANSAC + Tukey/MAD + chi2 rounds) does the rejection.
+        from ..ops import hamming as _hm
+        idx, ok = _hm.match_nn(
+            q_desc, c_desc, q_valid, c_valid,
+            max_dist=64, ratio=1.0, cross_check=True,
         )
         idx_safe = jnp.clip(idx, 0, F - 1)
         if q_angle is not None and feat_angle_flat is not None:
@@ -94,7 +107,21 @@ def relocalize(
                 q_angle, feat_angle_flat[rows][idx_safe], ok
             )
         match_pts = pt_pos[pt_safe[idx_safe]]
-        T_init = SE3.from_params7(kf_pose7[kf])
+        T_stored = SE3.from_params7(kf_pose7[kf])
+        if use_pnp:
+            from ..solvers import pnp as _pnp
+            pr = _pnp.ransac_pnp(
+                match_pts, q_px, ok, cam,
+                key=jax.random.fold_in(jax.random.PRNGKey(17), kf),
+                n_hyp=pnp_hyps,
+            )
+            seed_ok = pr.ok & (pr.n_inliers >= 6)
+            T_init = jax.tree.map(
+                lambda a, b: jnp.where(seed_ok, a, b),
+                pr.T_cw, T_stored,
+            )
+        else:
+            T_init = T_stored
         T_opt, inlier, _ = pose_only_ba(T_init, match_pts, q_px, ok, cam)
         return T_opt.params7(), jnp.sum(inlier)
 
@@ -118,6 +145,8 @@ def relocalize_archive(
     min_inliers: int = 20,
     q_angle=None,
     top_c: int = 3,
+    use_pnp: bool = True,
+    pnp_hyps: int = 256,
 ) -> RelocResult:
     """Relocalization against the ARCHIVED (evicted) keyframes — the
     global-map tier the reference gets for free from its keep-everything
@@ -138,9 +167,13 @@ def relocalize_archive(
 
     def try_candidate(a):
         c_valid = arc.feat_valid[a] & arc.pt_ok[a]
-        idx, ok = voc.match_by_nodes(
-            q_desc, nodes, q_valid, arc.desc[a], arc.nodes[a], c_valid,
-            max_dist=64, ratio=1.0,
+        # Full-matrix NN matching (see relocalize: the node gate
+        # drops true pairs under viewpoint change and saves nothing
+        # at this scale on TPU).
+        from ..ops import hamming as _hm
+        idx, ok = _hm.match_nn(
+            q_desc, arc.desc[a], q_valid, c_valid,
+            max_dist=64, ratio=1.0, cross_check=True,
         )
         idx_safe = jnp.clip(idx, 0, F - 1)
         if q_angle is not None and arc.angle is not None:
@@ -149,7 +182,21 @@ def relocalize_archive(
                 q_angle, arc.angle[a][idx_safe], ok
             )
         match_pts = arc.pt_pos[a][idx_safe]
-        T_init = SE3.from_params7(arc.pose7[a])
+        T_stored = SE3.from_params7(arc.pose7[a])
+        if use_pnp:
+            from ..solvers import pnp as _pnp
+            pr = _pnp.ransac_pnp(
+                match_pts, q_px, ok, cam,
+                key=jax.random.fold_in(jax.random.PRNGKey(23), a),
+                n_hyp=pnp_hyps,
+            )
+            seed_ok = pr.ok & (pr.n_inliers >= 6)
+            T_init = jax.tree.map(
+                lambda x, y: jnp.where(seed_ok, x, y),
+                pr.T_cw, T_stored,
+            )
+        else:
+            T_init = T_stored
         T_opt, inlier, _ = pose_only_ba(T_init, match_pts, q_px, ok, cam)
         return T_opt.params7(), jnp.sum(inlier)
 
@@ -168,6 +215,10 @@ class LoopResult(NamedTuple):
     found: jnp.ndarray      # bool
     loop_kf: jnp.ndarray    # candidate keyframe slot
     T_loop7: jnp.ndarray    # verified relative pose T_new * T_loop^-1
+    scale: jnp.ndarray      # measured relative map scale lambda
+                            # (current local metric / loop-KF metric;
+                            # 1.0 where unobservable — active-window
+                            # loops share one landmark array)
 
 
 def detect_loop(
@@ -235,7 +286,8 @@ def detect_loop(
     found = plausible & (n_inl >= min_inliers)
     T_loop = T_opt.compose(SE3.from_params7(kf_pose7[best]).inverse())
     return LoopResult(
-        found=found, loop_kf=best, T_loop7=T_loop.params7()
+        found=found, loop_kf=best, T_loop7=T_loop.params7(),
+        scale=jnp.asarray(1.0, q_px.dtype),
     )
 
 
@@ -252,6 +304,9 @@ def detect_loop_archive(
     min_inliers: int = 25,
     min_score_ratio: float = 0.75,
     feat_angle_flat=None,
+    feat_point_flat=None,   # [K*F] live landmark links (scale measure)
+    pt_pos=None,            # [L, 3] live landmark positions
+    pt_valid=None,          # [L]
 ) -> LoopResult:
     """Loop detection for a new keyframe against the ARCHIVE — the
     long-trajectory loops (hundreds of keyframes between revisits) that
@@ -304,22 +359,62 @@ def detect_loop_archive(
     n_inl = jnp.sum(inlier)
     found = plausible & (n_inl >= min_inliers)
     T_loop = T_opt.compose(SE3.from_params7(arc.pose7[best]).inverse())
+    # Relative map scale: matched pairs give the SAME physical points
+    # in two metrics — the current (possibly drifted) live map and the
+    # archived snapshot (old metric).  The centroid-spread ratio
+    # (Horn's closed-form similarity scale) is pose-free; monocular
+    # Sim(3) loop closure needs it for the 7-DoF edge.  1.0 when the
+    # live landmark links are not supplied or pairs are degenerate.
+    scale = jnp.asarray(1.0, q_px.dtype)
+    if feat_point_flat is not None and pt_pos is not None:
+        q_point = feat_point_flat[q_rows]
+        q_lm_ok = q_valid & (q_point >= 0)
+        if pt_valid is not None:
+            q_lm_ok = q_lm_ok & pt_valid[
+                jnp.clip(q_point, 0, pt_pos.shape[0] - 1)]
+        pair = inlier & q_lm_ok
+        wp = pair.astype(q_px.dtype)
+        n_pair = jnp.maximum(jnp.sum(wp), 1.0)
+        q_pts = pt_pos[jnp.clip(q_point, 0, pt_pos.shape[0] - 1)]
+        c_pts = match_pts
+        cq = jnp.sum(q_pts * wp[:, None], 0) / n_pair
+        cc = jnp.sum(c_pts * wp[:, None], 0) / n_pair
+        var_q = jnp.sum(wp * jnp.sum((q_pts - cq) ** 2, -1))
+        var_c = jnp.sum(wp * jnp.sum((c_pts - cc) ** 2, -1))
+        raw = jnp.sqrt(var_q / jnp.maximum(var_c, 1e-12))
+        usable = (jnp.sum(wp) >= 8) & (var_c > 1e-9) & jnp.isfinite(raw)
+        scale = jnp.where(usable, raw, 1.0)
     return LoopResult(
-        found=found, loop_kf=best, T_loop7=T_loop.params7()
+        found=found, loop_kf=best, T_loop7=T_loop.params7(),
+        scale=scale,
     )
 
 
-def apply_global_correction(mstate, new_pose7):
+def apply_global_correction(mstate, new_pose7, new_scale=None):
     """Write globally corrected active keyframe poses into MapState and
     re-anchor landmarks by their creating keyframe's pose change
-    (p' = T_new^-1 T_old p); jittable."""
+    (p' = T_new^-1 T_old p); with `new_scale` ([K] per-keyframe Sim(3)
+    correction scale) the anchor is a similarity, so landmarks also
+    RESCALE with their keyframe: p' = S_new^-1(T_old(p)) =
+    (1/s) R_new^T (T_old(p) - t_new * s)... expressed via Sim3 with
+    t in SIM coordinates.  new_pose7 holds the SE(3) pose (t already
+    divided by s); jittable."""
     m = mstate
     K = m.kf_pose7.shape[0]
     anchor = jnp.clip(m.pt_first_kf, 0, K - 1)
     T_old = SE3.from_params7(m.kf_pose7[anchor])
     T_new = SE3.from_params7(new_pose7[anchor])
     p_cam = T_old.apply(m.pt_pos)
-    p = T_new.inverse().apply(p_cam)
+    if new_scale is None:
+        p = T_new.inverse().apply(p_cam)
+    else:
+        from ..geometry import sim3 as sim3m
+        s_a = new_scale[anchor]
+        # S_cw_new = (R_new, s * t_new_se3, s); p' = S^-1(p_cam).
+        S_new = sim3m.Sim3(
+            T_new.R, T_new.t * s_a[:, None], s_a
+        )
+        p = S_new.inverse().apply(p_cam)
     p = jnp.where(m.pt_valid[:, None], p, m.pt_pos)
     return m._replace(kf_pose7=new_pose7, pt_pos=p)
 
@@ -332,6 +427,18 @@ def _pg_solve_padded(pose7, e_i, e_j, e_T7, e_w, e_mask, fixed,
         SE3.from_params7(pose7), edges, fixed, n_iter=n_iter
     )
     return p.params7(), chi2
+
+
+@partial(jax.jit, static_argnames=("n_iter",))
+def _pg_solve_sim3_padded(pose8, e_i, e_j, e_S8, e_w, e_mask, fixed,
+                          n_iter: int):
+    from ..geometry import sim3 as sim3m
+
+    edges = pg.Sim3Edges(e_i, e_j, e_S8, e_w, e_mask)
+    p, chi2 = pg.optimize_sim3(
+        sim3m.Sim3.from_params8(pose8), edges, fixed, n_iter=n_iter
+    )
+    return p.params8(), chi2
 
 
 def _next_pow2(n: int, lo: int = 16) -> int:
@@ -416,6 +523,98 @@ def close_loop_global(
     )
     out7 = np.asarray(out7)[:N]
     return out7[:A], out7[A:], float(chi2)
+
+
+def close_loop_global_sim3(
+    arc_pose7, arc_frame_id,
+    act_pose7, act_frame_id, act_cov,
+    loop_arc_idx: int, new_act_idx: int,
+    T_loop7, loop_scale: float = 1.0,
+    n_iter: int = 30,
+):
+    """7-DoF (Sim(3)) global pose graph over archive + active
+    keyframes: the monocular loop closure that also absorbs SCALE
+    drift (note.md:63-66's failure mode; beyond the reference's empty
+    loop_closing.h:5-7 slot).
+
+    Graph: sequential odometry + active covisibility edges carry the
+    current relative SE(3) estimates lifted to Sim(3) with unit
+    relative scale; the loop edge is the measured similarity
+    S_ji = (R_loop, lambda * t_loop, lambda), where lambda is the
+    matched-landmark spread ratio from loop verification.  Anchored on
+    the archived loop keyframe (fixing rigid gauge AND global scale).
+
+    Returns (arc_pose7_new, act_pose7_new, arc_scale, act_scale, chi2):
+    corrected SE(3) poses (scale absorbed, t/s) plus each node's
+    correction scale s (needed to re-anchor landmarks: a point riding
+    keyframe k moves by p' = S_k_new^-1(T_k_old(p))).
+    """
+    import numpy as np
+
+    A = arc_pose7.shape[0]
+    Ka = act_pose7.shape[0]
+    N = A + Ka
+    ids = np.concatenate([arc_frame_id, act_frame_id])
+    pose7 = np.concatenate([arc_pose7, act_pose7]).astype(np.float32)
+    order = np.argsort(ids, kind="stable")
+    si = order[:-1].astype(np.int32)
+    sj = order[1:].astype(np.int32)
+    from ..utils import np_se3
+    T_ji_seq = np_se3.relative7(pose7[sj], pose7[si]).astype(np.float32)
+    w_seq = np.full(len(si), 1.0, np.float32)
+    ai, aj = np.nonzero(np.triu(act_cov, 1) >= 10)
+    ci = (A + ai).astype(np.int32)
+    cj = (A + aj).astype(np.int32)
+    T_ji_cov = np_se3.relative7(pose7[cj], pose7[ci]).astype(np.float32)
+    w_cov = np.sqrt(np.maximum(act_cov[ai, aj], 1.0)).astype(np.float32)
+    li = np.asarray([loop_arc_idx], np.int32)
+    lj = np.asarray([A + new_act_idx], np.int32)
+    lam = float(loop_scale)
+    T_loop = np.asarray(T_loop7, np.float32)
+    # S_ji = S_new_meas o S_arc^-1 = (R_loop, lam * t_loop, lam): the
+    # new keyframe's pose in the OLD metric carries the measured
+    # scale; composing with the unit-scale anchor leaves (see module
+    # design note) exactly lam on both translation and scale.
+    S_loop8 = np.concatenate(
+        [T_loop[:4], lam * T_loop[4:7], [lam]]
+    ).astype(np.float32)[None]
+    w_loop = np.asarray([10.0], np.float32)
+
+    unit = lambda T7: np.concatenate(
+        [T7, np.ones((T7.shape[0], 1), np.float32)], axis=1
+    )
+    e_i = np.concatenate([si, ci, li])
+    e_j = np.concatenate([sj, cj, lj])
+    e_S8 = np.concatenate([unit(T_ji_seq), unit(T_ji_cov), S_loop8])
+    e_w = np.concatenate([w_seq, w_cov, w_loop])
+    E = len(e_i)
+    P = _next_pow2(N)
+    EP = _next_pow2(E)
+    pose8_p = np.tile(
+        np.asarray([1, 0, 0, 0, 0, 0, 0, 1], np.float32), (P, 1)
+    )
+    pose8_p[:N, :7] = pose7
+    fixed = np.ones(P, bool)
+    fixed[:N] = False
+    fixed[loop_arc_idx] = True
+    pad = lambda a, fill: np.concatenate(
+        [a, np.full((EP - E,) + a.shape[1:], fill, a.dtype)]
+    )
+    e_mask = np.zeros(EP, bool)
+    e_mask[:E] = True
+    ident8 = np.asarray([1, 0, 0, 0, 0, 0, 0, 1], np.float32)
+    e_S8_p = np.concatenate([e_S8, np.tile(ident8, (EP - E, 1))])
+    out8, chi2 = _pg_solve_sim3_padded(
+        jnp.asarray(pose8_p), jnp.asarray(pad(e_i, 0)),
+        jnp.asarray(pad(e_j, 0)), jnp.asarray(e_S8_p),
+        jnp.asarray(pad(e_w, 0.0)), jnp.asarray(e_mask),
+        jnp.asarray(fixed), n_iter=n_iter,
+    )
+    out8 = np.asarray(out8)[:N]
+    scale = out8[:, 7]
+    out7 = out8[:, :7].copy()
+    out7[:, 4:7] /= scale[:, None]    # to_se3: absorb scale into t
+    return (out7[:A], out7[A:], scale[:A], scale[A:], float(chi2))
 
 
 def close_loop(

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 from enum import Enum
 from functools import partial
 
@@ -49,12 +50,27 @@ log = logging.getLogger("ygz_slam_tpu.vo")
 
 _VOCAB_CACHE = {}
 
+# Packaged real-scale vocabulary (10^4 words, tools/train_vocab.py).
+_VOCAB_ASSET = os.path.join(
+    os.path.dirname(__file__), "..", "assets", "orbvoc_10k.npz"
+)
 
-def _shared_vocabulary(k: int = 8, depth: int = 3):
-    """Process-wide ORB vocabulary trained once on synthetic textures
-    (the reference loads a pretrained ORBvoc.bin, which is a missing
-    blob in its tree; training here is deterministic and fast at this
-    size)."""
+
+def _shared_vocabulary(k: int = 8, depth: int = 3,
+                       prefer_asset: bool = True):
+    """Process-wide ORB vocabulary.
+
+    By default loads the packaged 10^4-word asset (the role of DBoW3's
+    pretrained ORBvoc.bin, a missing blob in the reference tree:
+    SURVEY §2.3, src/Basic/Frame.cpp:190-201) — a 512-word bootstrap
+    saturates once the archive holds more than a few dozen keyframes
+    (BoW vectors collide; see docs/vocabulary.md).  Falls back to
+    training a small bootstrap on synthetic textures when the asset is
+    absent or prefer_asset=False."""
+    if prefer_asset and os.path.exists(_VOCAB_ASSET):
+        if "asset" not in _VOCAB_CACHE:
+            _VOCAB_CACHE["asset"] = voc.load(_VOCAB_ASSET)
+        return _VOCAB_CACHE["asset"]
     key = (k, depth)
     if key not in _VOCAB_CACHE:
         import numpy as _np
@@ -138,9 +154,15 @@ class VOOptions:
     use_depth_filter: bool = True     # Bayesian seeds for depthless
                                       # features (legacy C22, wired)
     use_vocabulary: bool = True       # BoW for reloc + loop closing
+    vocab_asset: bool = True          # load the packaged 10^4-word
+                                      # vocabulary (assets/orbvoc_10k);
+                                      # False = 512-word bootstrap
     reloc_min_inliers: int = 20
     reloc_top_c: int = 3              # BoW candidates geometrically
                                       # verified per reloc attempt
+    reloc_use_pnp: bool = True        # P3P-RANSAC pose seed (prior-
+                                      # free; falls back to the stored
+                                      # keyframe pose when degenerate)
     lost_desc_max_dist: int = 64      # Hamming bound for the lost-retry
                                       # descriptor re-verification
     kf_cull_min_window: int = 4       # KeyFrameCulling keeps at least
@@ -154,6 +176,10 @@ class VOOptions:
     loop_min_frame_gap: int = 50      # archive loop candidates must be
                                       # this many frames older
     global_pg_iters: int = 25         # global pose-graph GN iterations
+    sim3_loops: bool = True           # 7-DoF (Sim3) global pose graph:
+                                      # archive loops also absorb the
+                                      # monocular SCALE drift an SE(3)
+                                      # graph cannot (note.md:63-66)
     vo_type: VOType = VOType.SPARSE_DIRECT   # system.vo (yaml :10)
     map_type: MapType = MapType.SPARSE       # system.map (yaml :12)
     orb_match_radius: float = 15.0    # SPARSE_ORB projection window
@@ -243,7 +269,10 @@ class VisualOdometry:
         self._last_kf_pose7 = np.asarray(
             [1, 0, 0, 0, 0, 0, 0], np.float32
         )
-        self.vocab = _shared_vocabulary() if self.o.use_vocabulary else None
+        self.vocab = (
+            _shared_vocabulary(prefer_asset=o.vocab_asset)
+            if self.o.use_vocabulary else None
+        )
         if self.vocab is not None:
             self.kf_bow = jnp.zeros(
                 (o.map_K, self.vocab.n_words), jnp.float32
@@ -624,6 +653,7 @@ class VisualOdometry:
                     feat_angle_flat=mstate.feat_angle.reshape(-1),
                     q_angle=q_angle,
                     top_c=o.reloc_top_c,
+                    use_pnp=o.reloc_use_pnp,
                 )
 
             @jax.jit
@@ -652,7 +682,7 @@ class VisualOdometry:
                 return reloc.relocalize_archive(
                     vocab, cam, q_desc, q_px, q_valid, arc,
                     min_inliers=o.reloc_min_inliers, q_angle=q_angle,
-                    top_c=o.reloc_top_c,
+                    top_c=o.reloc_top_c, use_pnp=o.reloc_use_pnp,
                 )
 
             @jax.jit
@@ -669,6 +699,8 @@ class VisualOdometry:
                     min_frame_gap=o.loop_min_frame_gap,
                     min_inliers=o.loop_min_inliers,
                     feat_angle_flat=mstate.feat_angle.reshape(-1),
+                    feat_point_flat=mstate.feat_point.reshape(-1),
+                    pt_pos=mstate.pt_pos, pt_valid=mstate.pt_valid,
                 )
 
             self._jit_reloc_arc = _reloc_arc
@@ -698,6 +730,9 @@ class VisualOdometry:
 
         self._jit_arc_snapshot = _arc_snapshot
         self._jit_apply_corr = jax.jit(reloc.apply_global_correction)
+        self._jit_apply_corr_sim3 = jax.jit(
+            lambda m, p7, sc: reloc.apply_global_correction(m, p7, sc)
+        )
 
         self._jit_detect = _detect
         self._jit_desc_check = _desc_check
@@ -1676,16 +1711,36 @@ class VisualOdometry:
         act_pose7 = pose7_np[act_slots]
         act_ids = id_np[act_slots]
         act_cov = cov_np[np.ix_(act_slots, act_slots)]
-        arc_new, act_new, _chi2 = reloc.close_loop_global(
-            self.archive.poses7(), self.archive.frame_ids(),
-            act_pose7, act_ids, act_cov,
-            int(lp.loop_kf), act_slots.index(slot),
-            np.asarray(lp.T_loop7), n_iter=o.global_pg_iters,
-        )
-        self.archive.set_poses7(arc_new)
-        new7 = pose7_np.copy()
-        new7[act_slots] = act_new
-        srv.state = self._jit_apply_corr(st, jnp.asarray(new7))
+        if o.sim3_loops:
+            arc_new, act_new, arc_s, act_s, _chi2 = (
+                reloc.close_loop_global_sim3(
+                    self.archive.poses7(), self.archive.frame_ids(),
+                    act_pose7, act_ids, act_cov,
+                    int(lp.loop_kf), act_slots.index(slot),
+                    np.asarray(lp.T_loop7),
+                    loop_scale=float(lp.scale),
+                    n_iter=o.global_pg_iters,
+                )
+            )
+            self.archive.set_poses7(arc_new, scale=arc_s)
+            new7 = pose7_np.copy()
+            new7[act_slots] = act_new
+            scale_full = np.ones(new7.shape[0], np.float32)
+            scale_full[act_slots] = act_s
+            srv.state = self._jit_apply_corr_sim3(
+                st, jnp.asarray(new7), jnp.asarray(scale_full)
+            )
+        else:
+            arc_new, act_new, _chi2 = reloc.close_loop_global(
+                self.archive.poses7(), self.archive.frame_ids(),
+                act_pose7, act_ids, act_cov,
+                int(lp.loop_kf), act_slots.index(slot),
+                np.asarray(lp.T_loop7), n_iter=o.global_pg_iters,
+            )
+            self.archive.set_poses7(arc_new)
+            new7 = pose7_np.copy()
+            new7[act_slots] = act_new
+            srv.state = self._jit_apply_corr(st, jnp.asarray(new7))
         for fid, p in zip(self.archive.frame_ids(), arc_new):
             self.kf_pose_log[int(fid)] = np.asarray(p, np.float32)
         for fid, p in zip(act_ids, act_new):
