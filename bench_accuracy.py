@@ -1,0 +1,121 @@
+"""Long-trajectory accuracy benchmark: ATE/RPE on a 1200-frame
+non-planar loop with photometric perturbation, plus the loop-closure
+ablation.
+
+This is the BASELINE.md "ATE RMSE" metric's stand-in for TUM data
+(none ships in this environment; the reference's own integration tests
+parse real sequences, test/test_vo_init.cpp:26-39).  The world is a
+six-face textured box room (utils/synthetic.BoxScene): multi-textured,
+genuinely non-planar (depth 1-7.5 m with occluding corners), rendered
+with per-frame exposure gain/bias drift and lens vignetting.  The
+camera loops 1.08 laps, so the run ends with a revisit — the archive
+loop-closure event whose ATE improvement is measured by the
+`--no-loop` ablation.
+
+Usage:
+  python bench_accuracy.py [--frames 1200] [--no-loop] [--json-only]
+Prints one JSON line; `python tools/update_results.py` folds the
+numbers into RESULTS.md.
+"""
+import argparse
+import json
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+
+import numpy as np
+import jax.numpy as jnp
+
+from ygz_slam_tpu.geometry import PinholeCamera, SE3
+from ygz_slam_tpu.models import VisualOdometry, VOOptions, Status
+from ygz_slam_tpu.system import trajectory as traj
+from ygz_slam_tpu.utils.synthetic import BoxScene, loop_trajectory
+
+CAM = PinholeCamera.create(320.0, 320.0, 160.0, 120.0)
+SHAPE = (240, 320)
+
+
+def render_benchmark(n_frames, seed=0, horizon=None):
+    """`horizon` sets the trajectory's frame count (and so its
+    per-frame motion); n_frames <= horizon renders a prefix — used by
+    the fast regression-gate test, which cannot afford 1200 frames but
+    must see the SAME motion profile."""
+    scene = BoxScene(CAM, seed=seed, vignette=0.25)
+    poses = loop_trajectory(horizon or n_frames, radius=3.0, laps=1.08,
+                            seed=seed)[:n_frames]
+    for k, T in enumerate(poses):
+        gain = 1.0 + 0.08 * np.sin(2 * np.pi * k / 400.0)
+        bias = 4.0 * np.sin(2 * np.pi * k / 270.0)
+        yield k, T, scene.render(T, SHAPE, gain=gain, bias=bias)
+
+
+def run(n_frames, loop_closing=True, seed=0, log_every=100,
+        horizon=None):
+    vo = VisualOdometry(CAM, VOOptions(
+        init_min_disparity=15.0, kf_min_frames=5,
+        kf_max_trans=0.04, kf_max_rot=0.05,
+        loop_closing=loop_closing,
+    ))
+    gt_by_fid = {}
+    t0 = time.time()
+    n_good = 0
+    for k, T, img in render_benchmark(n_frames, seed, horizon):
+        gt_by_fid[k] = T
+        r = vo.add_frame(img, timestamp=float(k))
+        n_good += r.status == Status.GOOD
+        if log_every and (k + 1) % log_every == 0:
+            print(f"  frame {k+1}/{n_frames} status={r.status.name} "
+                  f"kf={len(vo.server.kf_used)} arc={vo.archive.count} "
+                  f"loops={vo.stats.get('loops_closed_global', 0)}"
+                  f"+{vo.stats.get('loops_closed_active', 0)} "
+                  f"({time.time()-t0:.0f}s)", file=sys.stderr)
+    # Corrected trajectory (keyframe-anchored, pose-graph-aware).
+    out = vo.trajectory_poses()
+    est, gt = [], []
+    for ts, p7 in out:
+        fid = int(ts)
+        if fid in gt_by_fid:
+            est.append(SE3.from_params7(jnp.asarray(p7)))
+            gt.append(gt_by_fid[fid])
+    est_c = traj.camera_centers(est)
+    gt_c = traj.camera_centers(gt)
+    ate = traj.ate_rmse(est_c, gt_c, with_scale=True)  # monocular: Sim3
+    # RPE in metric units: put the est trajectory on the gt scale
+    # first (monocular maps are mean-depth-1).
+    s_align, _, _ = traj.umeyama_align(est_c, gt_c, with_scale=True)
+    est_m = [SE3(e.R, e.t * s_align) for e in est]
+    rpe_t, rpe_r = traj.rpe_rmse(est_m, gt, delta=1)
+    return dict(
+        frames=n_frames,
+        tracked=len(est),
+        frac_good=n_good / n_frames,
+        ate_rmse=float(ate),
+        rpe_trans=float(rpe_t),
+        rpe_rot=float(rpe_r),
+        keyframes=len(vo.server.kf_used) + vo.archive.count,
+        loops_closed=int(vo.stats.get("loops_closed_global", 0)
+                         + vo.stats.get("loops_closed_active", 0)),
+        wall_s=time.time() - t0,
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=1200)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--no-loop", action="store_true",
+                    help="ablation: disable loop closing")
+    ap.add_argument("--json-only", action="store_true")
+    args = ap.parse_args()
+    res = run(args.frames, loop_closing=not args.no_loop, seed=args.seed,
+              log_every=0 if args.json_only else 100)
+    res["loop_closing"] = not args.no_loop
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

@@ -66,35 +66,40 @@ def sim3_align_ate(est_t, gt_t):
     return float(np.sqrt(((aligned - gt) ** 2).sum(axis=1).mean()))
 
 
+@pytest.fixture(scope="module")
+def shared_run():
+    """ONE 40-frame VO run shared by every test that only inspects the
+    outcome (the VO run, not the render, dominates suite time)."""
+    n = 40
+    scene, poses, imgs = render_sequence(n)
+    vo = VisualOdometry(CAM, VOOptions(**VO_OPTS))
+    statuses, est, gt, seeds_seen = [], [], [], False
+    for k, img in enumerate(imgs):
+        r = vo.add_frame(img, timestamp=float(k))
+        statuses.append(r.status)
+        if vo.seeds is not None:
+            seeds_seen = True
+        if r.status == Status.GOOD:
+            # Camera center in world: -R^T t.
+            est.append(np.asarray(-(r.T_cw.R.T @ r.T_cw.t)))
+            gt.append(np.asarray(-(poses[k].R.T @ poses[k].t)))
+    return dict(vo=vo, n=n, statuses=statuses, est=np.array(est),
+                gt=np.array(gt), seeds_seen=seeds_seen)
+
+
 class TestVOPipeline:
-    def test_initializes_and_tracks(self):
-        n = 40
-        scene, poses, imgs = render_sequence(n)
-        vo = VisualOdometry(CAM, VOOptions(**VO_OPTS))
-        statuses, est, gt = [], [], []
-        for k, img in enumerate(imgs):
-            r = vo.add_frame(img, timestamp=float(k))
-            statuses.append(r.status)
-            if r.status == Status.GOOD:
-                # Camera center in world: -R^T t.
-                c_est = -(r.T_cw.R.T @ r.T_cw.t)
-                c_gt = -(poses[k].R.T @ poses[k].t)
-                est.append(np.asarray(c_est))
-                gt.append(np.asarray(c_gt))
+    def test_initializes_and_tracks(self, shared_run):
+        n, statuses = shared_run["n"], shared_run["statuses"]
         assert Status.GOOD in statuses, f"never reached GOOD: {statuses}"
         n_good = sum(s == Status.GOOD for s in statuses)
         assert n_good > n * 0.5, f"only {n_good}/{n} frames tracked"
         assert statuses[-1] == Status.GOOD, "lost tracking at the end"
-        ate = sim3_align_ate(np.array(est), np.array(gt))
+        ate = sim3_align_ate(shared_run["est"], shared_run["gt"])
         # Trajectory spans ~0.6 m; ATE after Sim3 alignment must be cm-level.
         assert ate < 0.05, f"ATE {ate:.4f} m"
 
-    def test_keyframes_inserted(self):
-        n = 40
-        scene, poses, imgs = render_sequence(n)
-        vo = VisualOdometry(CAM, VOOptions(**VO_OPTS))
-        for k, img in enumerate(imgs):
-            vo.add_frame(img, timestamp=float(k))
+    def test_keyframes_inserted(self, shared_run):
+        vo = shared_run["vo"]
         assert len(vo.server.kf_used) >= 3, vo.server.kf_used
         m = vo.server.state
         assert int(m.pt_valid.sum()) > 50
@@ -111,18 +116,10 @@ class TestVOPipeline:
             r = vo.add_frame(img)
         assert r.status in (Status.NOT_READY, Status.INITING)
 
-    def test_depth_filter_creates_seeds(self):
+    def test_depth_filter_creates_seeds(self, shared_run):
         """The wired depth filter (legacy C22) must create seeds for
         depthless keyframe features and eventually promote them."""
-        n = 40
-        scene, poses, imgs = render_sequence(n)
-        vo = VisualOdometry(CAM, VOOptions(**VO_OPTS))
-        seeds_seen = False
-        for k, img in enumerate(imgs):
-            vo.add_frame(img, timestamp=float(k))
-            if vo.seeds is not None:
-                seeds_seen = True
-        assert seeds_seen, "depth filter never created seeds"
+        assert shared_run["seeds_seen"], "depth filter never created seeds"
 
     def test_reset(self):
         n = 20

@@ -56,31 +56,51 @@ def _pack_bits_np(bits: np.ndarray) -> np.ndarray:
     return out
 
 
-def _kmedians_binary(desc: np.ndarray, k: int, iters: int, rng) -> np.ndarray:
+def _bits_of(desc: np.ndarray) -> np.ndarray:
+    """[N, 8] uint32 -> [N, 256] uint8 bits via byte view (fast path
+    for real-scale offline training; bit order differs from
+    _unpack_bits_np but is self-consistent within a call)."""
+    by = desc.astype("<u4").view(np.uint8)          # [N, 32]
+    return np.unpackbits(by, axis=1, bitorder="little")
+
+
+def _pack_bits_fast(bits: np.ndarray) -> np.ndarray:
+    return np.packbits(bits, axis=1, bitorder="little").view("<u4")
+
+
+def _kmedians_binary(desc: np.ndarray, k: int, iters: int, rng,
+                     bits: np.ndarray | None = None) -> np.ndarray:
     """Binary k-medians: Hamming assignment + bitwise-majority update.
-    Returns [k, 8] uint32 centroids (host-side; training is offline)."""
+    Returns [k, 8] uint32 centroids (host-side; training is offline).
+    Pure numpy: a jax dispatch per tiny group would dominate the
+    deep-vocabulary training (thousands of small groups)."""
     n = desc.shape[0]
     if n == 0:
         return np.zeros((k, 8), np.uint32)
+    if bits is None:
+        bits = _bits_of(desc)
     centroids = desc[rng.choice(n, size=min(k, n), replace=False)]
     if centroids.shape[0] < k:
         centroids = np.concatenate(
             [centroids, np.tile(centroids[:1], (k - centroids.shape[0], 1))]
         )
-    d_j = jnp.asarray(desc)
+    cent_bits = _bits_of(centroids)
     for _ in range(iters):
-        dist = np.asarray(
-            hamming.distance_matrix(d_j, jnp.asarray(centroids))
-        )
-        assign = dist.argmin(axis=1)
-        bits = _unpack_bits_np(desc)
+        # Hamming via popcount on XOR of packed bytes (memory-light).
+        dist = np.zeros((n, k), np.int32)
+        bya = desc.astype("<u4").view(np.uint8)
+        byb = centroids.astype("<u4").view(np.uint8)
         for c in range(k):
-            members = bits[assign == c]
-            if len(members) == 0:
+            dist[:, c] = np.bitwise_count(
+                bya ^ byb[c][None, :]).sum(1, dtype=np.int32)
+        assign = dist.argmin(axis=1)
+        for c in range(k):
+            sel = assign == c
+            if not sel.any():
                 centroids[c] = desc[rng.integers(n)]
             else:
-                maj = (members.mean(axis=0) >= 0.5).astype(np.uint8)
-                centroids[c] = _pack_bits_np(maj[None])[0]
+                maj = (bits[sel].mean(axis=0) >= 0.5).astype(np.uint8)
+                centroids[c] = _pack_bits_fast(maj[None])[0]
     return centroids.astype(np.uint32)
 
 
@@ -107,9 +127,13 @@ def train(
             nodes[gi * k : (gi + 1) * k] = cents
             if level < depth - 1:
                 if len(g):
-                    dist = np.asarray(
-                        hamming.distance_matrix(jnp.asarray(g), jnp.asarray(cents))
-                    )
+                    bya = g.astype("<u4").view(np.uint8)
+                    byb = cents.astype("<u4").view(np.uint8)
+                    dist = np.stack([
+                        np.bitwise_count(bya ^ byb[c][None, :]).sum(
+                            1, dtype=np.int32)
+                        for c in range(k)
+                    ], axis=1)
                     assign = dist.argmin(axis=1)
                 else:
                     assign = np.zeros(0, int)

@@ -91,6 +91,144 @@ class PlaneScene:
         return self.cam.world_to_pixel(w, T_b, distorted=True)
 
 
+class BoxScene:
+    """Non-planar world at benchmark scale: the INSIDE of a textured
+    axis-aligned box room.  Each of the six faces carries its own
+    multi-octave texture; rays take the nearest positive face hit, so
+    corners are genuine occlusion/depth-discontinuity boundaries that
+    move with the camera.
+
+    Purpose: the long-trajectory accuracy benchmark (≥1000 frames with
+    a true loop) the short planar fixtures cannot provide — multi-
+    textured, non-planar, with optional photometric perturbation
+    (per-frame exposure gain/bias + lens vignetting) to exercise the
+    direct tracker off the photometric-constancy ideal.  The
+    reference's integration tests used real TUM sequences for this
+    role (test/test_vo_init.cpp:26-39); no real data ships in this
+    environment, so this is the controlled-ground-truth stand-in.
+    """
+
+    # Face definitions: (axis, sign) — plane axis=coord, normal inward.
+    _FACES = [(0, -1.0), (0, 1.0), (1, -1.0), (1, 1.0), (2, -1.0), (2, 1.0)]
+
+    def __init__(self, cam, half=(4.0, 2.0, 4.0), tex_size: int = 1024,
+                 tex_per_meter: float = 110.0, seed: int = 0,
+                 vignette: float = 0.0):
+        self.cam = cam
+        self.half = np.asarray(half, np.float32)   # box is [-half, half]
+        self.tex_size = tex_size
+        self.tex_per_meter = tex_per_meter
+        self.vignette = float(vignette)
+        self.texs = jnp.stack([
+            make_texture(tex_size, seed + 101 * f) for f in range(6)
+        ])
+
+    def _hits(self, px: jnp.ndarray, T_cw: SE3):
+        """Nearest positive face hit for each pixel ray.
+
+        Returns (points [..., 3] world, face [..., ] int32, t [...])."""
+        T_wc = T_cw.inverse()
+        bearing_c = self.cam.pixel_to_camera(px, 1.0, distorted=True)
+        d_w = jnp.einsum("ij,...j->...i", T_wc.R, bearing_c)
+        o_w = T_wc.t
+        big = jnp.asarray(1e9, px.dtype)
+        t_best = jnp.full(px.shape[:-1], big)
+        f_best = jnp.zeros(px.shape[:-1], jnp.int32)
+        for f, (ax, sign) in enumerate(self._FACES):
+            coord = sign * self.half[ax]
+            d_ax = d_w[..., ax]
+            d_safe = jnp.where(jnp.abs(d_ax) < 1e-9, 1e-9, d_ax)
+            t = (coord - o_w[ax]) / d_safe
+            hit = o_w + t[..., None] * d_w
+            # Inside the other two extents (with a hair of slack so
+            # corner rays always land on exactly one face).
+            oth = [a for a in range(3) if a != ax]
+            inside = (
+                (jnp.abs(hit[..., oth[0]]) <= self.half[oth[0]] + 1e-4)
+                & (jnp.abs(hit[..., oth[1]]) <= self.half[oth[1]] + 1e-4)
+            )
+            ok = (t > 1e-4) & inside & (t < t_best)
+            t_best = jnp.where(ok, t, t_best)
+            f_best = jnp.where(ok, f, f_best)
+        pts = o_w + t_best[..., None] * d_w
+        return pts, f_best, t_best
+
+    def world_from_pixel(self, px: jnp.ndarray, T_cw: SE3) -> jnp.ndarray:
+        pts, _, _ = self._hits(px, T_cw)
+        return pts
+
+    def _shade(self, pts: jnp.ndarray, face: jnp.ndarray) -> jnp.ndarray:
+        """Sample each face's texture at the hit point's two in-plane
+        world coordinates."""
+        out = jnp.zeros(pts.shape[:-1], pts.dtype)
+        for f, (ax, sign) in enumerate(self._FACES):
+            oth = [a for a in range(3) if a != ax]
+            tx = pts[..., oth[0]] * self.tex_per_meter + self.tex_size / 2
+            ty = pts[..., oth[1]] * self.tex_per_meter + self.tex_size / 2
+            val = bilinear(self.texs[f],
+                           jnp.stack([tx, ty], axis=-1))
+            out = jnp.where(face == f, val, out)
+        return out
+
+    def render(self, T_cw: SE3, shape: tuple[int, int],
+               gain: float = 1.0, bias: float = 0.0) -> jnp.ndarray:
+        """Render with optional photometric perturbation: pixel value
+        v' = clip(V(px) * (gain * v + bias)) with radial vignetting
+        V = 1 - vignette * (r / r_max)^2."""
+        H, W = shape
+        u, v = jnp.meshgrid(jnp.arange(W, dtype=jnp.float32),
+                            jnp.arange(H, dtype=jnp.float32))
+        px = jnp.stack([u, v], axis=-1)
+        pts, face, _ = self._hits(px, T_cw)
+        img = self._shade(pts, face)
+        img = gain * img + bias
+        if self.vignette > 0.0:
+            cx, cy = (W - 1) / 2.0, (H - 1) / 2.0
+            r2 = ((u - cx) ** 2 + (v - cy) ** 2) / (cx * cx + cy * cy)
+            img = img * (1.0 - self.vignette * r2)
+        return jnp.clip(img, 0.0, 255.0)
+
+    def depth(self, px: jnp.ndarray, T_cw: SE3) -> jnp.ndarray:
+        w = self.world_from_pixel(px, T_cw)
+        return T_cw.apply(w)[..., 2]
+
+    def project_to(self, px_a: jnp.ndarray, T_a: SE3, T_b: SE3) -> jnp.ndarray:
+        w = self.world_from_pixel(px_a, T_a)
+        return self.cam.world_to_pixel(w, T_b, distorted=True)
+
+
+def loop_trajectory(n_frames: int, radius: float = 2.2,
+                    laps: float = 1.08, bob: float = 0.08,
+                    seed: int = 0):
+    """Camera loop inside a BoxScene: a circle in the x-z plane facing
+    tangentially (always toward the walls), with small smooth y-bob and
+    attitude perturbations.  `laps` > 1 revisits the start — the loop-
+    closure event.  Returns a list of T_cw (world -> camera)."""
+    poses = []
+    rng = np.random.default_rng(seed)
+    ph = rng.uniform(0, 2 * np.pi, 3)
+    for k in range(n_frames):
+        a = 2 * np.pi * laps * k / n_frames
+        # Camera center on the circle; forward (camera +z) along the
+        # tangent; camera y down-ish (world -y up convention-free).
+        c = np.asarray([radius * np.sin(a),
+                        bob * np.sin(3 * a + ph[0]),
+                        -radius * np.cos(a)], np.float32)
+        yaw = a + 0.12 * np.sin(2 * a + ph[1])
+        pitch = 0.05 * np.sin(2.4 * a + ph[2])
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        cp, sp = np.cos(pitch), np.sin(pitch)
+        # R_wc: camera axes in world coords (z forward = tangent).
+        Rz = np.asarray([sy * cp, -sp, cy * cp], np.float32)   # forward
+        Rx = np.asarray([cy, 0.0, -sy], np.float32)            # right
+        Ry = np.cross(Rz, Rx)
+        R_wc = np.stack([Rx, Ry, Rz], axis=1)
+        R_cw = R_wc.T
+        t_cw = -R_cw @ c
+        poses.append(SE3(jnp.asarray(R_cw), jnp.asarray(t_cw)))
+    return poses
+
+
 class TwoPlaneScene:
     """Non-planar world: a NEAR plane (z = z_near, world x < x_split)
     occluding a FAR plane (z = z_far, everywhere) — a depth
