@@ -100,6 +100,7 @@ def run(n_frames, loop_closing=True, seed=0, log_every=100,
         loops_closed=int(vo.stats.get("loops_closed_global", 0)
                          + vo.stats.get("loops_closed_active", 0)),
         wall_s=time.time() - t0,
+        events=events[:40],
     )
 
 

@@ -10,6 +10,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # long eviction/loop/reactivation runs
+
 from ygz_slam_tpu.geometry import SE3, PinholeCamera, se3
 from ygz_slam_tpu.models import VisualOdometry, VOOptions, Status
 from ygz_slam_tpu.models import frontend as fe

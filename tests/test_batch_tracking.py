@@ -5,6 +5,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-sequence VO runs, minutes
+
 from ygz_slam_tpu.geometry import SE3, PinholeCamera, se3
 from ygz_slam_tpu.ops import pyramid, fast
 from ygz_slam_tpu.parallel import make_mesh

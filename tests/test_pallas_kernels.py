@@ -38,6 +38,7 @@ class TestHammingKernel:
 
 
 class TestWindowKernels:
+    @pytest.mark.slow
     def test_bilinear_patches_matches_and_finite_at_edges(self):
         from ygz_slam_tpu.ops.pallas import align2d_kernel as ak
 
@@ -244,6 +245,7 @@ class TestCachedWindowAligners:
         # Whatever converged must satisfy the (tightened) drift gate.
         assert np.all(drift[conv] < float(ak.CACHE_SLACK))
 
+    @pytest.mark.slow
     def test_sparse_align_tpu_path_matches_jnp_path(self):
         """Full sparse_image_align through the TPU window path (cached
         fine levels) in interpret mode vs the jnp gather path: same
@@ -284,6 +286,7 @@ class TestCachedWindowAligners:
         assert abs(d_tpu - d_jnp) < 2e-3, (d_jnp, d_tpu)
 
 
+@pytest.mark.slow
 class TestSparseAlignFused:
     """level_align_fused: a pyramid level's whole GN loop in ONE kernel
     (rollback + convergence semantics of solvers.nlls.gauss_newton)."""

@@ -46,6 +46,7 @@ def make_problem(K=6, L=64, seed=0, px_noise=0.3):
 
 
 class TestShardedBA:
+    @pytest.mark.slow
     def test_matches_single_device(self):
         (poses, pts, noisy_poses, noisy_pts, kf_idx, pt_idx, pxf, mask,
          fixed) = make_problem()

@@ -148,6 +148,7 @@ if __name__ == "__main__":
     pytest.main([__file__, "-q"])
 
 
+@pytest.mark.slow
 class TestKidnappedPnP:
     """Pose-prior-free relocalization (P3P RANSAC): a camera returning
     UPSIDE DOWN (roll 180 deg — ORB's steered BRIEF still matches) with

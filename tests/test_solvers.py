@@ -244,6 +244,7 @@ class TestLocalBA:
 
 
 class TestTwoViewBA:
+    @pytest.mark.slow
     def test_init_refinement(self):
         K, N = 2, 60
         poses, pts, px = make_scene(n_kf=K, n_pts=N, trans_step=0.4)

@@ -59,6 +59,7 @@ class TestStereoMatching:
 
 
 class TestStereoSystem:
+    @pytest.mark.slow
     def test_tracks_metric(self):
         scene = PlaneScene(CAM, plane_z=3.0, seed=12)
         sys_ = System(camera=CAM, sensor=Sensor.STEREO,

@@ -76,6 +76,7 @@ class TestSystemFacade:
         s = System(camera=CAM, sensor=Sensor.STEREO)
         assert s.sensor == Sensor.STEREO
 
+    @pytest.mark.slow
     def test_rgbd_tracks(self):
         ds = SyntheticDataset(CAM, n_frames=16, shape=(240, 320),
                               with_depth=True, motion_scale=0.5)
@@ -92,6 +93,7 @@ class TestSystemFacade:
         ate = traj.ate_rmse(np.array(est), np.array(gt), with_scale=False)
         assert ate < 0.03, ate
 
+    @pytest.mark.slow
     def test_resume_from_saved_map(self, tmp_path):
         """System A builds a monocular map; System B loads it and
         resumes by relocalizing (NOT_READY + non-empty map path)."""
@@ -122,6 +124,7 @@ class TestSystemFacade:
         assert r1.status == Status.GOOD, r1
         assert r2.status == Status.GOOD and r2.n_inliers > 50
 
+    @pytest.mark.slow
     def test_save_trajectory_and_map(self, tmp_path):
         ds = SyntheticDataset(CAM, n_frames=14, shape=(240, 320),
                               with_depth=True, motion_scale=0.5)
@@ -192,6 +195,7 @@ class TestEurocDataset:
             np.asarray(poses[1].t), [-0.1, 0.0, -1.0], atol=1e-6)
 
 
+@pytest.mark.slow
 class TestStreamIngestion:
     def test_stream_matches_per_frame(self):
         """track_monocular_stream (the System-level chunked default)

@@ -4,6 +4,8 @@ import functools
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # whole-step fusion A/B run
 import jax
 import jax.numpy as jnp
 

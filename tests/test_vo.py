@@ -140,6 +140,7 @@ if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
 
 
+@pytest.mark.slow
 class TestChunkedTracking:
     """add_frames: whole-chunk on-device scans must reproduce the
     per-frame path (same poses, same keyframes), truncating correctly

@@ -59,6 +59,7 @@ class TestSparseORB:
         )
         assert np.all(err[m] < 1e-3)
 
+    @pytest.mark.slow
     def test_tracks_sequence(self):
         n = 40
         scene, poses, imgs = render_sequence(n)
@@ -75,6 +76,7 @@ class TestSparseORB:
         assert ate < 0.10, f"SPARSE_ORB ATE {ate:.4f} m"
 
 
+@pytest.mark.slow
 class TestSemiDense:
     def test_gradient_selection(self):
         scene = PlaneScene(CAM, plane_z=3.0, seed=4)
@@ -178,6 +180,7 @@ if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
 
 
+@pytest.mark.slow
 class TestOrbSecondChance:
     """When the motion-model projection window misses, SPARSE_ORB must
     re-search with a widened window before declaring LOST (the role

@@ -7,6 +7,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # retrain + reloc e2e runs
+
 from ygz_slam_tpu.geometry import PinholeCamera, se3
 from ygz_slam_tpu.map import vocabulary as voc
 from ygz_slam_tpu.models import VisualOdometry, VOOptions, Status

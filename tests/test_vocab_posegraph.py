@@ -38,6 +38,7 @@ class TestVocabulary:
         w2, _ = voc.transform(VOCAB, d, jnp.ones(64, bool))
         np.testing.assert_array_equal(np.asarray(words), np.asarray(w2))
 
+    @pytest.mark.slow
     def test_same_scene_scores_higher(self):
         # Needs a discriminative vocabulary: two scenes drawn from the
         # same texture process share word statistics at 64 words; at
