@@ -85,3 +85,56 @@ def test_behind_camera_points_masked():
     T_f, inl_f, _ = pose_only_ba_fused(T0, pts, px, mask, cam)
     assert float(se3.distance(T_f, T_true)) < 1e-2
     assert not np.asarray(inl_f)[:20].any()
+
+
+def test_batched_kernel_matches_per_sequence():
+    """pose_only_ba_fused_batch: S solves in one kernel must match
+    running the single-sequence fused kernel per sequence."""
+    from ygz_slam_tpu.geometry.se3 import SE3
+    from ygz_slam_tpu.ops.pallas.pose_ba_fused import pose_only_ba_fused
+    from ygz_slam_tpu.ops.pallas.pose_ba_fused_batch import (
+        pose_only_ba_fused_batch)
+
+    S = 4
+    probs = [_problem(seed=s) for s in range(S)]
+    cam = probs[0][0]
+    pts = jnp.stack([p[1] for p in probs])
+    px = jnp.stack([p[2] for p in probs])
+    mask = jnp.stack([p[3] for p in probs])
+    T0 = jax.tree.map(
+        lambda *x: jnp.stack(x), *[p[5] for p in probs])
+    Tb, inl_b, chi2_b = pose_only_ba_fused_batch(T0, pts, px, mask, cam)
+    for s in range(S):
+        T_s, inl_s, chi2_s = pose_only_ba_fused(
+            jax.tree.map(lambda a: a[s], T0),
+            pts[s], px[s], mask[s], cam)
+        assert np.allclose(np.asarray(Tb.R[s]), np.asarray(T_s.R),
+                           atol=2e-5), s
+        assert np.allclose(np.asarray(Tb.t[s]), np.asarray(T_s.t),
+                           atol=2e-4), s
+        agree = (np.asarray(inl_b[s]) == np.asarray(inl_s)).mean()
+        assert agree > 0.97, (s, agree)
+
+
+def test_batched_kernel_accuracy():
+    """Each sequence's recovered pose must be near its ground truth."""
+    from ygz_slam_tpu.geometry import se3
+    from ygz_slam_tpu.ops.pallas.pose_ba_fused_batch import (
+        pose_only_ba_fused_batch)
+
+    S = 3
+    probs = [_problem(seed=10 + s) for s in range(S)]
+    cam = probs[0][0]
+    pts = jnp.stack([p[1] for p in probs])
+    px = jnp.stack([p[2] for p in probs])
+    mask = jnp.stack([p[3] for p in probs])
+    T0 = jax.tree.map(lambda *x: jnp.stack(x), *[p[5] for p in probs])
+    Tb, inl, _ = pose_only_ba_fused_batch(T0, pts, px, mask, cam)
+    for s in range(S):
+        T_true = probs[s][4]
+        d = float(se3.distance(
+            jax.tree.map(lambda a: a[s], Tb), T_true))
+        assert d < 2e-3, (s, d)
+        # Injected outliers rejected.
+        out_idx = probs[s][6]
+        assert np.asarray(inl[s])[out_idx].mean() < 0.1

@@ -276,11 +276,22 @@ def batched_track_step(
     )(T, pts_w)
     xy, conv, _err = batched_align2d(cur_pyrs[0], ref_patches, proj,
                                      a2d_prep=a2d_prep)
-    T_out, inlier, _chi2 = jax.vmap(
-        # use_fused=False: this site is vmapped over sequences; the
-        # batched XLA formulation amortizes across the batch already.
-        lambda Ti, p, o, m: pose_only_ba(Ti, p, o, m, cam, use_fused=False)
-    )(T, pts_w, xy, conv & mask)
+    if USE_FUSED_BATCH and ak.on_tpu():
+        # All S pose solves in ONE kernel (sequences on the sublane
+        # axis) — the vmapped XLA formulation's ~40-iteration serial
+        # chain of small ops is latency-bound regardless of batching.
+        from ..ops.pallas.pose_ba_fused_batch import (
+            pose_only_ba_fused_batch)
+
+        xyu = jax.vmap(cam.undistort_px)(xy)   # solver boundary
+        T_out, inlier, _chi2 = pose_only_ba_fused_batch(
+            T, pts_w, xyu, conv & mask, cam)
+    else:
+        T_out, inlier, _chi2 = jax.vmap(
+            # use_fused=False: vmapped XLA formulation (fallback).
+            lambda Ti, p, o, m: pose_only_ba(
+                Ti, p, o, m, cam, use_fused=False)
+        )(T, pts_w, xy, conv & mask)
     return T_out, jnp.sum(inlier, axis=-1)
 
 
