@@ -100,11 +100,13 @@ def main(S=8, n_frames=60):
               f"({ms/S*1000:7.1f} us/frame)")
         return ms
 
+    import os
+    SKIP = os.environ.get("SKIP_STAGES", "").split(",")
     # Stage: pyramid only
     def step_pyr(T7, imgs):
         cp = build_pyr_s(imgs)
         return T7 + 0 * cp[0][0, 0, 0]
-    timed("pyramid", step_pyr)
+    ("pyramid" in SKIP) or timed("pyramid", step_pyr)
 
     # Stage: pyramid + batched sparse align
     def step_sparse(T7, imgs):
@@ -113,7 +115,7 @@ def main(S=8, n_frames=60):
             ref_pyr_s, cp, cam, px_s, depth_s, mask_s,
             SE3.from_params7(T7), ref_preps=ref_preps)
         return T.params7()
-    t_sp = timed("pyr+sparse", step_sparse)
+    t_sp = ("pyr+sparse" in SKIP) or timed("pyr+sparse", step_sparse)
 
     # Stage: pyramid + batched align2d (projection at T_init)
     def step_a2d(T7, imgs):

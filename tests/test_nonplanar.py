@@ -57,6 +57,7 @@ class TestNonPlanarVO:
         ate = sim3_align_ate(np.array(est), np.array(gt))
         assert ate < 0.06, f"non-planar ATE {ate:.4f}"
 
+    @pytest.mark.slow
     def test_landmarks_on_both_depths(self):
         """The map must triangulate landmarks on BOTH surfaces (depth
         discontinuity handled, not just the dominant plane)."""

@@ -518,3 +518,38 @@ class TestGroupedGather:
         # align2d sampling values are origin-independent on the shared
         # lattice; accepted points must agree to float tolerance.
         assert du[both].max() < 1e-3, du[both].max()
+
+
+class TestFusedAlignerRowGrid:
+    def test_grid_path_matches_single_block(self):
+        """N > _ROW_BLOCK takes the row-grid pallas_call; results must
+        be identical to slicing the batch through the single-block
+        path (the multi-sequence S*N case)."""
+        from ygz_slam_tpu.ops.pallas import align2d_fused as af
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        H, W = 240, 320
+        img = jnp.asarray(rng.uniform(0, 255, (H, W)).astype(np.float32))
+        N = 600                       # > _ROW_BLOCK=256 -> grid path
+        xy = jnp.asarray(
+            np.c_[rng.uniform(24, W - 24, N),
+                  rng.uniform(24, H - 24, N)].astype(np.float32))
+        from ygz_slam_tpu.ops.interp import sample_patches
+        patches = sample_patches(img, xy, 10)
+        prep = af.align2d_prepare(patches)
+        xy0 = xy + jnp.asarray(
+            rng.uniform(-2, 2, (N, 2)).astype(np.float32))
+        out_g = af.align2d_fused(img, prep, xy0)
+        # Reference: run in single-block chunks of 200.
+        outs = []
+        for lo in range(0, N, 200):
+            hi = min(lo + 200, N)
+            prep_s = af.Align2DPrep(*[a[lo:hi] for a in prep])
+            outs.append(af.align2d_fused(img, prep_s, xy0[lo:hi]))
+        xy_ref = jnp.concatenate([o[0] for o in outs])
+        assert np.allclose(np.asarray(out_g[0]), np.asarray(xy_ref),
+                           atol=1e-4)
+        err_ref = jnp.concatenate([o[2] for o in outs])
+        assert np.allclose(np.asarray(out_g[2]), np.asarray(err_ref),
+                           atol=1e-3)

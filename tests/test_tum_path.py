@@ -105,6 +105,7 @@ class TestTumDataset:
 
 
 class TestRunTumExample:
+    @pytest.mark.slow
     def test_run_tum_main_end_to_end(self, tmp_path, monkeypatch, capsys):
         """Drive examples/run_tum.py's main() on the fixture: loader,
         System loop (RGBD), trajectory save, map save, ATE report."""

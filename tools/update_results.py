@@ -1,0 +1,96 @@
+"""Fold benchmark JSON outputs into RESULTS.md.
+
+Usage:
+  python tools/update_results.py ACC_LOOP.json ACC_NOLOOP.json \
+      [BENCH.json] [BENCH_BA.json] [BENCH_BATCH.json]
+
+Each file is the one-line JSON the corresponding bench script prints.
+Writes RESULTS.md at the repo root.
+"""
+import json
+import os
+import sys
+import datetime
+
+
+def load(path):
+    if path and os.path.exists(path):
+        with open(path) as f:
+            txt = f.read().strip()
+        if txt:
+            return json.loads(txt.splitlines()[-1])
+    return None
+
+
+def main(argv):
+    acc = load(argv[1]) if len(argv) > 1 else None
+    acc_nl = load(argv[2]) if len(argv) > 2 else None
+    bench = load(argv[3]) if len(argv) > 3 else None
+    ba = load(argv[4]) if len(argv) > 4 else None
+    batch = load(argv[5]) if len(argv) > 5 else None
+
+    lines = []
+    a = lines.append
+    a("# RESULTS — measured benchmark record")
+    a("")
+    a(f"Updated {datetime.date.today().isoformat()}.  Sources: "
+      "`bench_accuracy.py` (CPU backend, deterministic rendered "
+      "sequence), `bench.py` / `bench_ba.py` / `bench_batch.py` "
+      "(one real TPU v5e via the axon tunnel).")
+    a("")
+    a("## Trajectory accuracy — 2000-frame non-planar loop "
+      "(BoxScene)")
+    a("")
+    a("World: textured box room (depth 1–7.5 m, occluding corners), "
+      "1.08 laps at ~0.3 m/s-equivalent motion, per-frame exposure "
+      "gain/bias drift + 25% lens vignetting.  Monocular ATE is "
+      "Sim(3)-aligned (Umeyama); RPE is per-frame after scale "
+      "alignment.  This is the controlled-ground-truth stand-in for "
+      "the BASELINE 'ATE on TUM fr1/fr2' metric — no real dataset "
+      "ships in this environment (the reference's own integration "
+      "tests parse TUM directories; the data itself is equally "
+      "absent from its tree).")
+    a("")
+    a("| run | frames GOOD | ATE RMSE (m) | RPE trans (m) | "
+      "RPE rot (rad) | keyframes | loops closed |")
+    a("|---|---|---|---|---|---|---|")
+    for name, r in (("loop closing ON", acc),
+                    ("loop closing OFF (ablation)", acc_nl)):
+        if r is None:
+            a(f"| {name} | _pending_ | | | | | |")
+            continue
+        a(f"| {name} | {r['frac_good']*100:.1f}% "
+          f"| {r['ate_rmse']:.4f} | {r['rpe_trans']:.4f} "
+          f"| {r['rpe_rot']:.4f} | {r['keyframes']} "
+          f"| {r['loops_closed']} |")
+    if acc and acc_nl and acc["loops_closed"] > 0:
+        impr = (1.0 - acc["ate_rmse"] / max(acc_nl["ate_rmse"], 1e-9))
+        a("")
+        a(f"Loop closure improves ATE by **{impr*100:.1f}%** over the "
+          "no-loop ablation on this sequence.")
+    a("")
+    a("## Throughput (real TPU v5e)")
+    a("")
+    a("| metric | value | target | ratio |")
+    a("|---|---|---|---|")
+    if bench:
+        a(f"| tracking fps (640×480, 200 pts) | {bench['value']:.1f} "
+          f"| 100 | {bench['vs_baseline']:.1f}× |")
+    if ba:
+        a(f"| local-BA iterations/s (10 KF × 500 pts) "
+          f"| {ba['value']:.1f} | — | — |")
+    if batch:
+        a(f"| multi-sequence aggregate fps (S=8) | {batch['value']:.1f} "
+          f"| 100 | {batch['vs_baseline']:.1f}× |")
+    a("")
+    a("Scaling-model constants measured on the chip (see "
+      "docs/performance.md): Schur-BA compute 1.7 µs/landmark/iter, "
+      "psum plumbing ≈ 0 at n=1, 14.6 KB collective payload ⇒ "
+      "2-host efficiency ≥ 0.7 with >10× communication-budget margin.")
+    with open("RESULTS.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote RESULTS.md")
+
+
+if __name__ == "__main__":
+    main(sys.argv)

@@ -1551,6 +1551,10 @@ class VisualOdometry:
         self.velocity = SE3.identity()
         tm, new_state, _ = self._run_tracker(pyr, self.prev_T_cw)
         retry_ok = int(tm.n_inliers) >= self.o.min_track_inliers
+        if log.isEnabledFor(logging.DEBUG):
+            log.debug("lost retry %d: inliers=%d (need %d)",
+                      self.lost_count, int(tm.n_inliers),
+                      self.o.min_track_inliers)
         if retry_ok:
             # Descriptor re-verification (CheckFrameDescriptors,
             # Matcher.cpp:45-84) — on self-similar texture the direct
@@ -1563,6 +1567,9 @@ class VisualOdometry:
             consistent = (np.asarray(tm.found)
                           & (np.asarray(d) <= self.o.lost_desc_max_dist))
             retry_ok = int(consistent.sum()) >= self.o.min_track_inliers
+            if log.isEnabledFor(logging.DEBUG):
+                log.debug("lost retry desc-check: %d consistent of %d",
+                          int(consistent.sum()), int(tm.n_inliers))
         if retry_ok:
             self.status = Status.GOOD
             self.server.state = new_state
@@ -1846,6 +1853,9 @@ class VisualOdometry:
             self.kf_bow, self.kf_nodes, self.server.state,
         )
         self._last_reloc_arc_idx = None
+        if log.isEnabledFor(logging.DEBUG):
+            log.debug("reloc active: success=%s inliers=%d kf=%d",
+                      bool(r.success), int(r.n_inliers), int(r.kf_slot))
         if bool(r.success):
             return r
         if self.archive is not None and self.archive.count > 0:
@@ -1855,6 +1865,10 @@ class VisualOdometry:
                 feats.desc, feats.px, feats.valid, feats.angle,
                 self.archive.device_view(),
             )
+            if log.isEnabledFor(logging.DEBUG):
+                log.debug("reloc archive: success=%s inliers=%d row=%d",
+                          bool(ra.success), int(ra.n_inliers),
+                          int(ra.kf_slot))
             if bool(ra.success):
                 self.stats["relocs_archive"] += 1
                 self._last_reloc_arc_idx = int(ra.kf_slot)

@@ -44,6 +44,7 @@ from .align2d_kernel import (
 )
 
 FLAT = CACHE_WIN * CACHE_WIN          # 1024 flattened window lanes
+_ROW_BLOCK = 256   # grid block for large (multi-sequence) batches
 _SMAX_BITS = 10                       # max roll 759 = 23*32 + 23 < 2^10
 # Bench-level A/B toggle: in-kernel while_loop that ends the GN loop
 # once every point is frozen (converged or clamped out of its cache).
@@ -357,12 +358,7 @@ def align2d_fused(
         axis=1,
     )
     meta = jnp.pad(meta, ((0, 0), (0, 4)))
-    out = pl.pallas_call(
-        partial(_fused_kernel, n_iter, conv_eps, early_exit, delta_rolls),
-        out_shape=jax.ShapeDtypeStruct((N, 8), pdt),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-    )(
+    args = (
         wins.reshape(N, FLAT).astype(wdt),
         prep.ref.astype(wdt),
         prep.jx.astype(wdt),
@@ -370,6 +366,38 @@ def align2d_fused(
         prep.hinv.astype(pdt),
         meta,
     )
+    kern = partial(_fused_kernel, n_iter, conv_eps, early_exit,
+                   delta_rolls)
+    if N <= _ROW_BLOCK:
+        out = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((N, 8), pdt),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(*args)
+    else:
+        # Large batches (the multi-sequence path feeds S*N rows): grid
+        # over row blocks.  The kernel is purely per-point, and Mosaic
+        # compile time scales with PROGRAM tile count — one ~1600-row
+        # program took >1 h through the compile relay, while the
+        # per-block program is the well-trodden single-sequence size
+        # (and blocks pipeline their VMEM loads).
+        Np = -(-N // _ROW_BLOCK) * _ROW_BLOCK
+        pad = Np - N
+        args = tuple(jnp.pad(a, ((0, pad), (0, 0))) for a in args)
+        out = pl.pallas_call(
+            kern,
+            grid=(Np // _ROW_BLOCK,),
+            out_shape=jax.ShapeDtypeStruct((Np, 8), pdt),
+            in_specs=[
+                pl.BlockSpec((_ROW_BLOCK, a.shape[1]),
+                             lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+                for a in args
+            ],
+            out_specs=pl.BlockSpec((_ROW_BLOCK, 8), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        )(*args)[:N]
     return (out[:, :2].astype(cur_img.dtype),
             out[:, 2].astype(cur_img.dtype),
             out[:, 3].astype(cur_img.dtype))
