@@ -67,6 +67,13 @@ def run(n_frames, loop_closing=True, seed=0, log_every=100,
         init_min_disparity=15.0, kf_min_frames=5,
         kf_max_trans=0.04, kf_max_rot=0.05,
         n_levels=n_levels,
+        # The default tracking-lost gate (30 inliers; the reference's
+        # own gate is a config value, LocalMapping.h:19) trips on
+        # TRANSIENT dips in the low-texture forward-motion sections
+        # (inliers 34->29 over 5 frames, with the same region
+        # supporting 80+ after re-init).  20 rides through the dips;
+        # genuine failures still die fast (inliers collapse to ~0).
+        min_track_inliers=20,
         loop_closing=loop_closing,
     ))
     gt_by_fid = {}
