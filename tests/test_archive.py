@@ -202,17 +202,19 @@ class TestArchiveReactivation:
         (1) relocalize via the archive, (2) REACTIVATE the matched
         keyframe + its landmarks into the active window, and (3) keep
         tracking GOOD on subsequent frames in that region."""
-        n = 44
+        n = 52
         scene = PlaneScene(CAM, plane_z=3.0, seed=3)
         # One-way sweep FAR enough that the end view shares zero
-        # pixels with the start view (2.6 m ~ 277 px shift at the
-        # plane > 320 px width minus margins), so plain LOST-retry
-        # against the active map cannot succeed.
+        # pixels with the start view (3.4 m ~ 363 px shift at the
+        # plane > the 320 px image width), so neither LOST-retry nor
+        # ACTIVE-window relocalization can recover — only the archive
+        # tier can.  (2.6 m stopped being enough once the round-3
+        # descriptor tuning made active reloc stronger.)
         poses = []
         for k in range(n):
             t = k / (n - 1)
             xi = jnp.asarray(
-                [2.6 * t, 0.1 * np.sin(2 * np.pi * t), 0.0,
+                [3.4 * t, 0.1 * np.sin(2 * np.pi * t), 0.0,
                  0.0, -0.05 * np.sin(np.pi * t), 0.0], jnp.float32,
             )
             poses.append(se3.exp(xi))
