@@ -100,12 +100,13 @@ def run(n_frames, loop_closing=True, seed=0, log_every=100,
                   f"({time.time()-t0:.0f}s)", file=sys.stderr)
     # Corrected trajectory (keyframe-anchored, pose-graph-aware).
     out = vo.trajectory_poses()
-    est, gt = [], []
+    est, gt, fids = [], [], []
     for ts, p7 in out:
         fid = int(ts)
         if fid in gt_by_fid:
             est.append(SE3.from_params7(jnp.asarray(p7)))
             gt.append(gt_by_fid[fid])
+            fids.append(fid)
     est_c = traj.camera_centers(est)
     gt_c = traj.camera_centers(gt)
     ate = traj.ate_rmse(est_c, gt_c, with_scale=True)  # monocular: Sim3
@@ -114,11 +115,33 @@ def run(n_frames, loop_closing=True, seed=0, log_every=100,
     s_align, _, _ = traj.umeyama_align(est_c, gt_c, with_scale=True)
     est_m = [SE3(e.R, e.t * s_align) for e in est]
     rpe_t, rpe_r = traj.rpe_rmse(est_m, gt, delta=1)
+    # Per-SEGMENT ATE: a hard-reset re-initializes the world frame
+    # and scale, so whole-run Sim3 alignment across a reset measures
+    # the (arbitrary) frame jump, not estimation quality.  Standard
+    # practice for trackers with resets: align each contiguous
+    # tracked segment independently, report the frame-weighted mean
+    # plus coverage.  (With zero resets the single segment equals the
+    # whole-run number.)
+    reinit_fids = [k for k, name, _ in events
+                   if name == "INITING" and k > 0]
+    seg_bounds = sorted(set([fids[0]] + reinit_fids + [fids[-1] + 1]))
+    seg_ates, seg_sizes = [], []
+    for lo, hi in zip(seg_bounds[:-1], seg_bounds[1:]):
+        idx = [i for i, f in enumerate(fids) if lo <= f < hi]
+        if len(idx) < 10:
+            continue
+        a = traj.ate_rmse(est_c[idx], gt_c[idx], with_scale=True)
+        seg_ates.append(float(a))
+        seg_sizes.append(len(idx))
+    ate_seg = (float(np.average(seg_ates, weights=seg_sizes))
+               if seg_ates else float(ate))
     return dict(
         frames=n_frames,
         tracked=len(est),
         frac_good=n_good / n_frames,
         ate_rmse=float(ate),
+        ate_segment=ate_seg,
+        n_segments=max(len(seg_ates), 1),
         rpe_trans=float(rpe_t),
         rpe_rot=float(rpe_r),
         keyframes=len(vo.server.kf_used) + vo.archive.count,

@@ -58,7 +58,7 @@ class KeyframeArchive:
 
     def append(self, frame_id: int, pose7, bow, nodes, desc, px,
                feat_valid, pt_pos, pt_ok, angle=None, level=None,
-               image=None):
+               image=None, epoch: int = 0):
         if angle is None:
             angle = np.zeros(np.asarray(px).shape[0], np.float32)
         if level is None:
@@ -81,6 +81,13 @@ class KeyframeArchive:
             # source for keyframe REACTIVATION after an archive
             # relocalization — never shipped to device in the view).
             image=np.asarray(image, np.uint8).copy(),
+            # Map epoch: which world frame/scale this row's pose and
+            # landmark snapshot live in.  A hard reset starts a new
+            # epoch; rows from older epochs remain for CROSS-EPOCH
+            # loop detection, whose verified hit triggers a map MERGE
+            # (the current map is rebased into the old epoch's frame
+            # by a measured Sim(3)).
+            epoch=np.asarray(epoch, np.int32),
         ))
         self._view = None
 
@@ -170,6 +177,32 @@ class KeyframeArchive:
             r["nodes"] = np.asarray(nodes, np.int32)
         self._view = None
 
+    def epoch_of(self, idx: int) -> int:
+        return int(self._rows[idx].get("epoch", 0))
+
+    def epochs(self) -> np.ndarray:
+        return np.asarray(
+            [int(r.get("epoch", 0)) for r in self._rows], np.int32)
+
+    def rebase_epoch(self, epoch: int, fn_pose7, fn_points):
+        """Apply a world-frame change to every row OF ONE EPOCH:
+        fn_pose7(pose7 [7]) -> [7], fn_points(p [F,3]) -> [F,3]; used
+        when that epoch merges into another world frame."""
+        for r in self._rows:
+            if int(r.get("epoch", 0)) != epoch:
+                continue
+            r["pose7"] = np.asarray(fn_pose7(r["pose7"]), np.float32)
+            if r["pt_ok"].any():
+                r["pt_pos"] = np.asarray(
+                    fn_points(r["pt_pos"]), np.float32)
+        self._view = None
+
+    def set_epoch(self, old: int, new: int):
+        for r in self._rows:
+            if int(r.get("epoch", 0)) == old:
+                r["epoch"] = np.asarray(new, np.int32)
+        self._view = None
+
     def pop(self, idx: int) -> dict:
         """Remove and return a row (keyframe REACTIVATION: the entry
         moves back into the active window, so keeping the archive copy
@@ -204,7 +237,7 @@ class KeyframeArchive:
         n = data["__arc_frame_id"].shape[0]
         keys = ["frame_id", "pose7", "bow", "nodes", "desc", "px",
                 "feat_valid", "pt_pos", "pt_ok", "angle", "level",
-                "image"]
+                "image", "epoch"]
         for i in range(n):
             row = {}
             for k in keys:
@@ -221,4 +254,6 @@ class KeyframeArchive:
                     row[k] = np.zeros(self.F, np.float32)
                 elif k == "level":
                     row[k] = np.zeros(self.F, np.int32)
+                elif k == "epoch":
+                    row[k] = np.asarray(0, np.int32)
             self._rows.append(row)

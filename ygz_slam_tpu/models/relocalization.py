@@ -307,6 +307,7 @@ def detect_loop_archive(
     feat_point_flat=None,   # [K*F] live landmark links (scale measure)
     pt_pos=None,            # [L, 3] live landmark positions
     pt_valid=None,          # [L]
+    use_pnp: bool = True,
 ) -> LoopResult:
     """Loop detection for a new keyframe against the ARCHIVE — the
     long-trajectory loops (hundreds of keyframes between revisits) that
@@ -354,7 +355,22 @@ def detect_loop_archive(
             feat_angle_flat[q_rows], arc.angle[best][idx_safe], ok
         )
     match_pts = arc.pt_pos[best][idx_safe]
-    T_init = SE3.from_params7(kf_pose7[new_slot])
+    T_stored = SE3.from_params7(kf_pose7[new_slot])
+    if use_pnp:
+        # Archive loops can sit in a DIFFERENT basin than the current
+        # pose (monocular scale drift; across a hard-reset epoch the
+        # whole world frame differs) — seed from the 2D-3D matches.
+        from ..solvers import pnp as _pnp
+        pr = _pnp.ransac_pnp(
+            match_pts, q_px, ok, cam,
+            key=jax.random.fold_in(jax.random.PRNGKey(29), best),
+            n_hyp=256,
+        )
+        seed_ok = pr.ok & (pr.n_inliers >= 6)
+        T_init = jax.tree.map(
+            lambda a, b: jnp.where(seed_ok, a, b), pr.T_cw, T_stored)
+    else:
+        T_init = T_stored
     T_opt, inlier, _ = pose_only_ba(T_init, match_pts, q_px, ok, cam)
     n_inl = jnp.sum(inlier)
     found = plausible & (n_inl >= min_inliers)

@@ -259,6 +259,11 @@ class VisualOdometry:
         # SURVEY §5; exposed here as a dict + optional log lines).
         import collections
         self.stats = collections.Counter()
+        self.epoch = 0                 # world-frame epoch; a hard
+                                       # reset starts a new one, a
+                                       # verified cross-epoch archive
+                                       # loop MERGES it back
+        self._epoch_min_fid = 0
         # Keyframe-anchored trajectory (ORB-SLAM SaveTrajectory
         # semantics): each frame records (ts, anchor keyframe id,
         # relative pose T_c_kf), so loop-closure corrections of
@@ -1360,8 +1365,18 @@ class VisualOdometry:
                     self.archive.device_view(),
                 )
                 if bool(lpa.found):
-                    self._close_loop_global(slot, lpa)
-                    self.stats["loops_closed_global"] += 1
+                    row_epoch = self.archive.epoch_of(int(lpa.loop_kf))
+                    if row_epoch != self.epoch:
+                        # Cross-epoch hit: the matched row lives in a
+                        # PRE-RESET world frame.  A pose graph cannot
+                        # bridge disconnected worlds — MERGE instead:
+                        # rebase this (young) epoch into the old one
+                        # by the measured Sim(3).
+                        self._merge_epochs(slot, lpa, row_epoch)
+                        self.stats["maps_merged"] += 1
+                    else:
+                        self._close_loop_global(slot, lpa)
+                        self.stats["loops_closed_global"] += 1
         # --- mapping pass: covisibility + local BA + culling ---
         fixed = jnp.zeros(o.map_K, bool)
         oldest = self.server.kf_used[0]
@@ -1631,7 +1646,7 @@ class VisualOdometry:
             nodes = np.full(self.o.map_F, -1, np.int32)
         self.archive.append(
             fid, pose7, bow, nodes, desc, px, fvalid, pt_pos, pt_ok,
-            angle=angle, level=level, image=img_u8,
+            angle=angle, level=level, image=img_u8, epoch=self.epoch,
         )
         self.kf_pose_log[fid] = pose7.copy()
         self.stats["keyframes_archived"] += 1
@@ -1704,6 +1719,81 @@ class VisualOdometry:
             found = found.at[rows_j].set(True)
         obs_px = self.cam.world_to_pixel(m.pt_pos, T_cur)
         return found, obs_px
+
+    def _merge_epochs(self, slot: int, lp, row_epoch: int):
+        """Rebase the CURRENT epoch's map into `row_epoch`'s world
+        frame (ORB-SLAM3-Atlas-style map merging, here via the Sim(3)
+        measured by cross-epoch loop verification).
+
+        Loop verification gave: T_opt (this keyframe's pose in the OLD
+        metric, via the PnP-seeded solve against the archived
+        landmarks, encoded as lp.T_loop7 = T_opt * T_arc^-1) and
+        lp.scale = lambda (current-metric / old-metric length ratio
+        from matched-landmark spreads).  The world map
+        B: p_cur -> p_old is B(p) = T_opt^-1((R_new p + t_new)/lambda)
+        with (R_new, t_new) the keyframe's current pose; poses rebase
+        rigidly as R' = R_T R_B^T, t' = t_T/lambda - R' t_B.  By
+        construction the merged keyframe lands exactly on T_opt."""
+        from ..utils import np_se3
+
+        srv, o = self.server, self.o
+        st = srv.state
+        lam = float(np.clip(float(lp.scale), 0.2, 5.0))
+        T_arc7 = self.archive._rows[int(lp.loop_kf)]["pose7"]
+        T_opt7 = np_se3.compose7(np.asarray(lp.T_loop7), T_arc7)
+        R_opt, t_opt = np_se3.params7_to_Rt(T_opt7)
+        T_new7 = np.asarray(st.kf_pose7[slot])
+        R_new, t_new = np_se3.params7_to_Rt(T_new7)
+        R_B = R_opt.T @ R_new
+        t_B = R_opt.T @ (t_new / lam - t_opt)
+
+        def fn_points(p):
+            return ((np.asarray(p, np.float64) @ R_new.T + t_new) / lam
+                    - t_opt) @ R_opt
+
+        def fn_pose7(p7):
+            R_T, t_T = np_se3.params7_to_Rt(np.asarray(p7))
+            R_p = R_T @ R_B.T
+            t_p = t_T / lam - R_p @ t_B
+            return np_se3.Rt_to_params7(R_p, t_p).astype(np.float32)
+
+        # Active window: poses, landmarks, feature depths (all in map
+        # units -> divide by lambda).
+        kf7 = np.array(st.kf_pose7)
+        for sl in list(srv.kf_used):
+            kf7[sl] = fn_pose7(kf7[sl])
+        pts = np.array(st.pt_pos)
+        pv = np.asarray(st.pt_valid)
+        pts[pv] = fn_points(pts[pv]).astype(np.float32)
+        depth = np.asarray(st.feat_depth)
+        depth = np.where(depth > 0, depth / lam, depth)
+        srv.state = st._replace(
+            kf_pose7=jnp.asarray(kf7.astype(np.float32)),
+            pt_pos=jnp.asarray(pts.astype(np.float32)),
+            feat_depth=jnp.asarray(depth.astype(np.float32)),
+        )
+        # Host pose state.
+        self.prev_T_cw = SE3.from_params7(jnp.asarray(
+            fn_pose7(np.asarray(self.prev_T_cw.params7()))))
+        self.T_cw = SE3.from_params7(jnp.asarray(
+            fn_pose7(np.asarray(self.T_cw.params7()))))
+        self.velocity = SE3.identity()
+        if self._last_kf_fid >= 0:
+            self._last_kf_pose7 = fn_pose7(self._last_kf_pose7)
+        # Trajectory anchors of THIS epoch's frames.
+        for fid, p7 in list(self.kf_pose_log.items()):
+            if fid >= self._epoch_min_fid:
+                self.kf_pose_log[fid] = fn_pose7(p7)
+        # This epoch's archived rows, then relabel the epoch.
+        self.archive.rebase_epoch(self.epoch, fn_pose7, fn_points)
+        self.archive.set_epoch(self.epoch, row_epoch)
+        # Scale-dependent transient state is dropped.
+        self.seeds = None
+        self.sd = None
+        log.info("merged epoch %d into %d (lambda=%.3f) at kf %d",
+                 self.epoch, row_epoch, lam, slot)
+        self.epoch = row_epoch
+        self._epoch_min_fid = 0
 
     def _close_loop_global(self, slot: int, lp):
         """Apply a verified archive loop: pose-graph over the FULL
@@ -1860,10 +1950,18 @@ class VisualOdometry:
             return r
         if self.archive is not None and self.archive.count > 0:
             # Cascade to the global tier: archived keyframes the
-            # active window can no longer reach.
+            # active window can no longer reach.  Only CURRENT-epoch
+            # rows are candidates — old epochs live in other world
+            # frames; rejoining them is the keyframe-time merge
+            # path's job, with a measured Sim(3) bridge.
+            arc = self.archive.device_view()
+            ep = self.archive.epochs()
+            ep_pad = np.zeros(arc.valid.shape[0], np.int32) - 1
+            ep_pad[:len(ep)] = ep
+            arc = arc._replace(valid=arc.valid & jnp.asarray(
+                ep_pad == self.epoch))
             ra = self._jit_reloc_arc(
-                feats.desc, feats.px, feats.valid, feats.angle,
-                self.archive.device_view(),
+                feats.desc, feats.px, feats.valid, feats.angle, arc,
             )
             if log.isEnabledFor(logging.DEBUG):
                 log.debug("reloc archive: success=%s inliers=%d row=%d",
@@ -1878,6 +1976,12 @@ class VisualOdometry:
     def reset(self):
         """Full reset (System::Reset surface)."""
         o = self.o
+        # Preserve the old map before discarding the window: every
+        # still-active keyframe archives into its (closing) epoch, so
+        # a later cross-epoch loop can merge the next map back.
+        if self.archive is not None:
+            for slot in list(self.server.kf_used):
+                self._archive_kf(slot)
         self.server = MapServer(o.map_K, o.map_F, o.map_L)
         self.status = Status.NOT_READY
         self.T_cw = SE3.identity()
@@ -1894,15 +1998,18 @@ class VisualOdometry:
         self.dense_cloud = []
         self._last_kf_fid = -1
         if self.archive is not None:
-            # The new map has a fresh world frame; stale archived
-            # geometry would relocalize into the old one.  (Past
-            # kf_pose_log entries stay: they finalize the anchored
-            # trajectory of pre-reset frames.)
-            self.archive = KeyframeArchive(
-                self.o.map_F,
-                self.vocab.n_words if self.vocab is not None else 1,
-            )
-            self.server.on_evict = self._archive_kf
+            # The new map gets a FRESH world frame (a new EPOCH), but
+            # the old map's geometry is NOT discarded: the active
+            # window archives first, and all archived rows keep their
+            # epoch tag.  LOST-relocalization only consults the
+            # current epoch (old-epoch poses live in another frame),
+            # but keyframe-time loop detection sees every epoch — a
+            # verified cross-epoch loop triggers _merge_epochs, which
+            # rebases the young map into the old world frame by the
+            # measured Sim(3) (ORB-SLAM3-Atlas-style map merging; the
+            # reference's keep-everything Memory never faces this).
+            self.epoch += 1
+            self._epoch_min_fid = self.frame_id + 1
         if self.vocab is not None:
             self.kf_bow = jnp.zeros_like(self.kf_bow)
             self.kf_nodes = jnp.full_like(self.kf_nodes, -1)
