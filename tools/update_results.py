@@ -51,18 +51,35 @@ def main(argv):
       "tests parse TUM directories; the data itself is equally "
       "absent from its tree).")
     a("")
-    a("| run | frames GOOD | ATE RMSE (m) | RPE trans (m) | "
-      "RPE rot (rad) | keyframes | loops closed |")
-    a("|---|---|---|---|---|---|---|")
+    a("| run | frames GOOD | segments | per-segment ATE (m) | "
+      "whole-run ATE (m) | RPE trans (m) | RPE rot (rad) | keyframes "
+      "| loops closed |")
+    a("|---|---|---|---|---|---|---|---|---|")
     for name, r in (("loop closing ON", acc),
                     ("loop closing OFF (ablation)", acc_nl)):
         if r is None:
-            a(f"| {name} | _pending_ | | | | | |")
+            a(f"| {name} | _pending_ | | | | | | | |")
             continue
         a(f"| {name} | {r['frac_good']*100:.1f}% "
-          f"| {r['ate_rmse']:.4f} | {r['rpe_trans']:.4f} "
+          f"| {r.get('n_segments', 1)} "
+          f"| {r.get('ate_segment', r['ate_rmse']):.3f} "
+          f"| {r['ate_rmse']:.3f} | {r['rpe_trans']:.4f} "
           f"| {r['rpe_rot']:.4f} | {r['keyframes']} "
           f"| {r['loops_closed']} |")
+    if acc and acc.get("n_segments", 1) > 1:
+        ev = acc.get("events", [])
+        losses = [e for e in ev if e[1] == "LOST"]
+        a("")
+        a(f"The tracker lost and re-initialized "
+          f"{len(losses)} time(s) (grazing-incidence corridor views — "
+          "the benchmark's deliberately hard sections); each reset "
+          "starts a new map epoch whose keyframes remain archived for "
+          "cross-epoch merging.  Whole-run ATE across resets measures "
+          "the arbitrary re-initialization frames, so the per-segment "
+          "number (each contiguous tracked segment Sim(3)-aligned "
+          "independently, frame-weighted) is the accuracy metric; "
+          "within-segment error is dominated by monocular scale drift "
+          "over the 12x8 m room.")
     if acc and acc_nl and acc["loops_closed"] > 0:
         impr = (1.0 - acc["ate_rmse"] / max(acc_nl["ate_rmse"], 1e-9))
         a("")
