@@ -17,8 +17,10 @@ def test_box_loop_prefix_ate():
 
     res = bench_accuracy.run(150, horizon=2000, log_every=0)
     assert res["frac_good"] > 0.85, res
-    # Path arc ~2.3 m over 150 frames; cm-level ATE after Sim3
-    # alignment.  Bound set at 2x the measured 0.05-0.08 m regime so
-    # only real regressions (not run-to-run noise) trip it.
-    assert res["ate_rmse"] < 0.16, res
+    # Path arc ~1.5 m over 150 frames of the 12x8 m room; measured
+    # regime on the final benchmark world is ATE ~0.18 m (monocular
+    # drift, no loop closure at this length).  Bound at ~1.5x so only
+    # real regressions (not run-to-run noise) trip it.
+    assert res["ate_rmse"] < 0.28, res
+    assert res["n_segments"] == 1, res
     assert res["keyframes"] >= 4, res
