@@ -96,6 +96,37 @@ class TestEvictionArchival:
         )
 
 
+    def test_post_reset_eviction_still_archives(self):
+        """reset() builds a FRESH MapServer — the eviction hook must be
+        re-wired on it, or every post-reset eviction silently drops the
+        keyframe and the global tier never sees post-reset history
+        (round-3 advisor finding, severity high)."""
+        n = 30
+        scene = PlaneScene(CAM, plane_z=3.0, seed=3)
+        poses = out_and_back_trajectory(60)[:n]
+        imgs = render(poses, scene)
+        vo = run_vo(imgs)
+        assert vo.status == Status.GOOD
+        vo.reset()
+        assert vo.epoch == 1
+        # The fresh server must have the archival hook wired.
+        assert vo.server.on_evict is not None
+        # Re-run the sweep in the new epoch until keyframes exist,
+        # then force an eviction and check it lands in the archive
+        # with the new epoch tag.
+        for j, img in enumerate(imgs):
+            vo.add_frame(img, timestamp=float(100 + j))
+            if len(vo.server.kf_used) >= 2:
+                break
+        assert len(vo.server.kf_used) >= 2, "post-reset run built no KFs"
+        before = vo.archive.count
+        vo.server.evict_kf(vo.server.kf_used[0])
+        assert vo.archive.count == before + 1, (
+            "post-reset eviction was dropped instead of archived"
+        )
+        assert int(vo.archive.epochs()[vo.archive.count - 1]) == 1
+
+
 class TestArchiveRelocalization:
     def test_relocalize_against_evicted_keyframe(self):
         """After the camera has moved far enough that the start-of-run

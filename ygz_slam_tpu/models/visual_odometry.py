@@ -263,7 +263,11 @@ class VisualOdometry:
                                        # reset starts a new one, a
                                        # verified cross-epoch archive
                                        # loop MERGES it back
-        self._epoch_min_fid = 0
+        # Which epoch each logged keyframe fid belongs to.  A merge
+        # must rebase ONLY the merged epoch's entries — a min-fid
+        # watermark corrupts intermediate epochs after two or more
+        # resets (round-3 advisor finding).
+        self._fid_epoch: dict[int, int] = {}
         # Keyframe-anchored trajectory (ORB-SLAM SaveTrajectory
         # semantics): each frame records (ts, anchor keyframe id,
         # relative pose T_c_kf), so loop-closure corrections of
@@ -956,6 +960,11 @@ class VisualOdometry:
         self.init_pyr = pyr
         self.init_feats = feats
         self.init_track_px = feats.px
+        # Frame id of the init REFERENCE frame: keyframe 0 of this map
+        # must be registered under it (hard-coding 0 collides with the
+        # previous epoch's fid 0 after a reset — pose-log/archive
+        # entries would alias across world frames).
+        self._init_ref_fid = self.frame_id
         self.status = Status.INITING
         return TrackResult(Status.INITING, SE3.identity())
 
@@ -1100,7 +1109,7 @@ class VisualOdometry:
             )
         z1 = T1.apply(pts)[:, 2]
         slot0 = srv.register_keyframe(
-            0, T1,
+            self._init_ref_fid, T1,
             padded(feats.px), padded(feats.level), padded(feats.angle),
             padded(feats.desc), padded(jnp.where(inl, z1, -1.0), -1.0),
             padded(jnp.where(inl, rows, -1), -1),
@@ -1397,7 +1406,9 @@ class VisualOdometry:
         pose7_np = np.asarray(srv.state.kf_pose7)
         id_np = np.asarray(srv.state.kf_id)
         for s in srv.kf_used:
-            self.kf_pose_log[int(id_np[s])] = pose7_np[s].copy()
+            fid_s = int(id_np[s])
+            self.kf_pose_log[fid_s] = pose7_np[s].copy()
+            self._fid_epoch.setdefault(fid_s, self.epoch)
         self._last_kf_fid = int(id_np[slot])
         self._last_kf_pose7 = pose7_np[slot].copy()
         if log.isEnabledFor(logging.INFO):
@@ -1649,6 +1660,7 @@ class VisualOdometry:
             angle=angle, level=level, image=img_u8, epoch=self.epoch,
         )
         self.kf_pose_log[fid] = pose7.copy()
+        self._fid_epoch.setdefault(fid, self.epoch)
         self.stats["keyframes_archived"] += 1
 
     def _reactivate_archived(self, arc_idx: int, T_cur: SE3):
@@ -1709,6 +1721,8 @@ class VisualOdometry:
         self._last_kf_fid = int(row["frame_id"])
         self._last_kf_pose7 = np.asarray(row["pose7"], np.float32)
         self.kf_pose_log[self._last_kf_fid] = self._last_kf_pose7.copy()
+        self._fid_epoch[self._last_kf_fid] = int(row.get("epoch",
+                                                        self.epoch))
         self.stats["keyframes_reactivated"] += 1
         # Seed the sparse aligner: the reactivated landmarks projected
         # at the relocalized pose are the next frame's reference set.
@@ -1780,10 +1794,13 @@ class VisualOdometry:
         self.velocity = SE3.identity()
         if self._last_kf_fid >= 0:
             self._last_kf_pose7 = fn_pose7(self._last_kf_pose7)
-        # Trajectory anchors of THIS epoch's frames.
+        # Trajectory anchors of THIS epoch's frames only: entries of
+        # intermediate epochs live in other world frames and must not
+        # be transformed by this Sim(3).
         for fid, p7 in list(self.kf_pose_log.items()):
-            if fid >= self._epoch_min_fid:
+            if self._fid_epoch.get(fid, self.epoch) == self.epoch:
                 self.kf_pose_log[fid] = fn_pose7(p7)
+                self._fid_epoch[fid] = row_epoch
         # This epoch's archived rows, then relabel the epoch.
         self.archive.rebase_epoch(self.epoch, fn_pose7, fn_points)
         self.archive.set_epoch(self.epoch, row_epoch)
@@ -1793,7 +1810,6 @@ class VisualOdometry:
         log.info("merged epoch %d into %d (lambda=%.3f) at kf %d",
                  self.epoch, row_epoch, lam, slot)
         self.epoch = row_epoch
-        self._epoch_min_fid = 0
 
     def _close_loop_global(self, slot: int, lp):
         """Apply a verified archive loop: pose-graph over the FULL
@@ -1983,6 +1999,13 @@ class VisualOdometry:
             for slot in list(self.server.kf_used):
                 self._archive_kf(slot)
         self.server = MapServer(o.map_K, o.map_F, o.map_L)
+        if self.archive is not None:
+            # Re-wire the eviction hook on the FRESH server: without
+            # it every post-reset eviction silently drops the keyframe
+            # instead of archiving it, starving archive reloc / loop
+            # closure / cross-epoch merging of post-reset history
+            # (round-3 advisor finding).
+            self.server.on_evict = self._archive_kf
         self.status = Status.NOT_READY
         self.T_cw = SE3.identity()
         self.velocity = SE3.identity()
@@ -2009,7 +2032,6 @@ class VisualOdometry:
             # measured Sim(3) (ORB-SLAM3-Atlas-style map merging; the
             # reference's keep-everything Memory never faces this).
             self.epoch += 1
-            self._epoch_min_fid = self.frame_id + 1
         if self.vocab is not None:
             self.kf_bow = jnp.zeros_like(self.kf_bow)
             self.kf_nodes = jnp.full_like(self.kf_nodes, -1)

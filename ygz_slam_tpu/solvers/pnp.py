@@ -27,6 +27,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..geometry.se3 import SE3
 from .quartic import quartic_roots, real_roots_mask
@@ -77,9 +78,12 @@ def p3p(pts_w: jnp.ndarray, f: jnp.ndarray):
 
     xs = jnp.asarray([-2.0, -1.0, 0.0, 1.0, 2.0])
     ys = jnp.stack([p_of(x) for x in xs], axis=-1)          # [..., 5]
-    # Inverse of the fixed 5x5 Vandermonde (rows [1, x, x^2, x^3, x^4]).
-    V = jnp.stack([xs ** k for k in range(5)], axis=-1)     # [5, 5]
-    Vinv = jnp.linalg.inv(V.astype(jnp.float64)).astype(ys.dtype)
+    # Inverse of the fixed 5x5 Vandermonde (rows [1, x, x^2, x^3, x^4]),
+    # computed with numpy at trace time so it really is float64 (a jnp
+    # float64 cast is a no-op without jax_enable_x64).
+    xs_np = np.asarray([-2.0, -1.0, 0.0, 1.0, 2.0], np.float64)
+    V_np = np.stack([xs_np ** k for k in range(5)], axis=-1)
+    Vinv = jnp.asarray(np.linalg.inv(V_np), ys.dtype)
     coef = jnp.einsum("ij,...j->...i", Vinv, ys)            # c0..c4
 
     roots = quartic_roots(coef[..., 4], coef[..., 3], coef[..., 2],
