@@ -66,6 +66,22 @@ class TestBatchTracking:
         errs = np.asarray(jax.vmap(se3.distance)(out, T_gt))
         assert errs.max() < 1e-2, errs
 
+    def test_sharded_matches_unsharded(self):
+        """8-shard parity: the mesh-sharded program must produce the
+        SAME poses as the single-device batched path (pure data
+        parallelism — any divergence means the shard_map specs leak)."""
+        ref_pyrs, cur_pyrs, px, d, m, T_gt = make_batch(S=8)
+        T0 = SE3.identity((8,))
+        ref = batched_sparse_align(ref_pyrs, cur_pyrs, CAM, px, d, m, T0)
+        mesh = make_mesh(8)
+        out = sharded_batch_align(
+            mesh, ref_pyrs, cur_pyrs, CAM, px, d, m, T0
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.params7()), np.asarray(ref.params7()),
+            atol=1e-5,
+        )
+
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
