@@ -157,12 +157,17 @@ def relocalize_archive(
     per-feature world positions snapshotted at eviction time
     (ArchiveView.pt_pos/pt_ok), so no live landmark slots are needed.
     Returned kf_slot is the ARCHIVE row index.
+
+    Candidate RANKING is the brute-force descriptor match-count score
+    (ops.hamming.archive_match_scores — free on the VPU, ranks the
+    true revisit first where BoW L1 ranks it ~39th at archive=200),
+    with a BoW top-1024 prefilter once the archive outgrows the
+    brute-force budget.
     """
     F = arc.nodes.shape[1]
-    words, nodes = voc.transform(vocab, q_desc, q_valid)
-    q_bow = voc.bow_vector(vocab, words, q_valid)
-    scores = voc.score_l1(q_bow[None, :], arc.bow)
-    scores = jnp.where(arc.valid, scores, -1.0)
+    scores = _archive_retrieval_scores(
+        vocab, q_desc, q_valid, arc, arc.valid
+    )
     _, cand = jax.lax.top_k(scores, top_c)
 
     def try_candidate(a):
@@ -209,6 +214,32 @@ def relocalize_archive(
         n_inliers=n_inl,
         kf_slot=cand[best_c],
     )
+
+
+def _archive_retrieval_scores(vocab, q_desc, q_valid, arc, row_mask):
+    """[A] float retrieval scores for a query frame over the archive:
+    descriptor match-count (see ops.hamming.archive_match_scores), with
+    masked-out rows at -1.  For archives beyond 1024 rows the BoW tree
+    prefilters to the top-1024 before brute-force scoring (the coarse/
+    fine split DBoW3's inverted index approximates in one pass)."""
+    from ..ops import hamming as _hm
+
+    A = arc.bow.shape[0]
+    c_valid = arc.feat_valid & arc.pt_ok
+    if A > 1024:
+        words, _ = voc.transform(vocab, q_desc, q_valid)
+        q_bow = voc.bow_vector(vocab, words, q_valid)
+        bow_s = voc.score_l1(q_bow[None, :], arc.bow)
+        _, pre = jax.lax.top_k(jnp.where(row_mask, bow_s, -1.0), 1024)
+        m = _hm.archive_match_scores(
+            q_desc, q_valid, arc.desc[pre], c_valid[pre]
+        )
+        scores = jnp.full(A, -1.0, jnp.float32).at[pre].set(
+            m.astype(jnp.float32)
+        )
+        return jnp.where(row_mask, scores, -1.0)
+    m = _hm.archive_match_scores(q_desc, q_valid, arc.desc, c_valid)
+    return jnp.where(row_mask, m.astype(jnp.float32), -1.0)
 
 
 class LoopResult(NamedTuple):
@@ -268,9 +299,16 @@ def detect_loop(
     c_valid = feat_valid_flat[c_rows] & (c_point >= 0)
     pt_safe = jnp.clip(c_point, 0, pt_pos.shape[0] - 1)
     c_valid = c_valid & pt_valid[pt_safe]
-    idx, ok = voc.match_by_nodes(
-        q_desc, q_nodes, q_valid, c_desc, c_nodes, c_valid,
-        max_dist=50, ratio=0.85,
+    # Full-matrix Hamming NN, NOT node-gated (same redesign as
+    # `relocalize`): a loop closure is by definition a wide-viewpoint
+    # revisit, exactly where descriptor noise flips vocabulary-node
+    # assignments and silently drops true pairs; at F=256 the full
+    # 65k-popcount matrix is free on the VPU.  The robust pose solve
+    # does the rejection.
+    from ..ops import hamming as _hm
+    idx, ok = _hm.match_nn(
+        q_desc, c_desc, q_valid, c_valid,
+        max_dist=64, ratio=1.0, cross_check=True,
     )
     idx_safe = jnp.clip(idx, 0, F - 1)
     if feat_angle_flat is not None:
@@ -308,6 +346,7 @@ def detect_loop_archive(
     pt_pos=None,            # [L, 3] live landmark positions
     pt_valid=None,          # [L]
     use_pnp: bool = True,
+    top_c: int = 8,
 ) -> LoopResult:
     """Loop detection for a new keyframe against the ARCHIVE — the
     long-trajectory loops (hundreds of keyframes between revisits) that
@@ -317,92 +356,111 @@ def detect_loop_archive(
     new keyframe (archived entries are never covisible with the active
     window by construction, but recently evicted ones can still be
     spatially adjacent — the temporal gap replaces ORB-SLAM's
-    not-covisible gate).  The normalizing score is the best covisible
-    score within the active window, as in `detect_loop`.  The returned
-    loop_kf is the ARCHIVE row index.
+    not-covisible gate).  The returned loop_kf is the ARCHIVE row
+    index.
+
+    The `top_c` best-scoring candidates are ALL geometrically verified
+    (vmapped — the verifier is a fixed-shape batched program, so extra
+    candidates are near-free on the VPU/MXU) and the one with most
+    pose-BA inliers wins.  Ranking is the brute-force descriptor
+    match-count score (`_archive_retrieval_scores`), NOT BoW L1: BoW
+    ranks the true twin ~39th at archive=200 (docs/vocabulary.md) —
+    argmax-on-BoW retrieval is why loops would silently never fire on
+    long runs.  Plausibility = enough raw descriptor matches to even
+    reach `min_inliers` (`min_score_ratio` is retained for API
+    stability but unused — the BoW covisible-score normalization does
+    not apply to match counts).
     """
     K = kf_valid.shape[0]
     F = arc.nodes.shape[1]
-    v_new = kf_bow[new_slot]
-    # Normalizer from the active window's covisible neighbours.
-    s_act = voc.score_l1(v_new[None, :], kf_bow)
-    covis = cov_weight[new_slot] > 0
-    is_self = jnp.arange(K) == new_slot
-    s_cov = jnp.where(covis & kf_valid & (~is_self), s_act, -1.0)
-    s_ref = jnp.maximum(jnp.max(s_cov), 0.05)
-    # Archive candidates.
-    scores = voc.score_l1(v_new[None, :], arc.bow)
-    gap_ok = arc.frame_id < (new_frame_id - min_frame_gap)
-    cand_scores = jnp.where(arc.valid & gap_ok, scores, -1.0)
-    best = jnp.argmax(cand_scores)
-    plausible = cand_scores[best] > min_score_ratio * s_ref
-    # Geometric verification against the candidate's archived points.
+    # Query features (shared across candidates).
     Fq = feat_valid_flat.shape[0] // K
     q_rows = new_slot * Fq + jnp.arange(Fq)
     q_desc = feat_desc_flat[q_rows]
-    q_nodes = feat_nodes_flat[q_rows]
     q_px = feat_px_flat[q_rows]
     q_valid = feat_valid_flat[q_rows]
-    c_valid = arc.feat_valid[best] & arc.pt_ok[best]
-    idx, ok = voc.match_by_nodes(
-        q_desc, q_nodes, q_valid, arc.desc[best], arc.nodes[best],
-        c_valid, max_dist=50, ratio=0.85,
+    # Archive candidates by descriptor match count.
+    gap_ok = arc.frame_id < (new_frame_id - min_frame_gap)
+    cand_scores = _archive_retrieval_scores(
+        vocab, q_desc, q_valid, arc, arc.valid & gap_ok
     )
-    idx_safe = jnp.clip(idx, 0, F - 1)
-    if feat_angle_flat is not None:
-        from ..ops import hamming as _h
-        ok = _h.rotation_consistency(
-            feat_angle_flat[q_rows], arc.angle[best][idx_safe], ok
-        )
-    match_pts = arc.pt_pos[best][idx_safe]
+    c_scores, cand = jax.lax.top_k(cand_scores, top_c)
+    plausible_c = c_scores >= jnp.float32(min_inliers)
     T_stored = SE3.from_params7(kf_pose7[new_slot])
-    if use_pnp:
-        # Archive loops can sit in a DIFFERENT basin than the current
-        # pose (monocular scale drift; across a hard-reset epoch the
-        # whole world frame differs) — seed from the 2D-3D matches.
-        from ..solvers import pnp as _pnp
-        pr = _pnp.ransac_pnp(
-            match_pts, q_px, ok, cam,
-            key=jax.random.fold_in(jax.random.PRNGKey(29), best),
-            n_hyp=256,
+    q_point = (feat_point_flat[q_rows]
+               if feat_point_flat is not None else None)
+
+    def verify(a):
+        c_valid = arc.feat_valid[a] & arc.pt_ok[a]
+        # Full-matrix Hamming NN (see detect_loop: node gating drops
+        # true pairs exactly at the wide-viewpoint revisits loops
+        # consist of).
+        from ..ops import hamming as _hm
+        idx, ok = _hm.match_nn(
+            q_desc, arc.desc[a], q_valid, c_valid,
+            max_dist=64, ratio=1.0, cross_check=True,
         )
-        seed_ok = pr.ok & (pr.n_inliers >= 6)
-        T_init = jax.tree.map(
-            lambda a, b: jnp.where(seed_ok, a, b), pr.T_cw, T_stored)
-    else:
-        T_init = T_stored
-    T_opt, inlier, _ = pose_only_ba(T_init, match_pts, q_px, ok, cam)
-    n_inl = jnp.sum(inlier)
-    found = plausible & (n_inl >= min_inliers)
-    T_loop = T_opt.compose(SE3.from_params7(arc.pose7[best]).inverse())
-    # Relative map scale: matched pairs give the SAME physical points
-    # in two metrics — the current (possibly drifted) live map and the
-    # archived snapshot (old metric).  The centroid-spread ratio
-    # (Horn's closed-form similarity scale) is pose-free; monocular
-    # Sim(3) loop closure needs it for the 7-DoF edge.  1.0 when the
-    # live landmark links are not supplied or pairs are degenerate.
-    scale = jnp.asarray(1.0, q_px.dtype)
-    if feat_point_flat is not None and pt_pos is not None:
-        q_point = feat_point_flat[q_rows]
-        q_lm_ok = q_valid & (q_point >= 0)
-        if pt_valid is not None:
-            q_lm_ok = q_lm_ok & pt_valid[
-                jnp.clip(q_point, 0, pt_pos.shape[0] - 1)]
-        pair = inlier & q_lm_ok
-        wp = pair.astype(q_px.dtype)
-        n_pair = jnp.maximum(jnp.sum(wp), 1.0)
-        q_pts = pt_pos[jnp.clip(q_point, 0, pt_pos.shape[0] - 1)]
-        c_pts = match_pts
-        cq = jnp.sum(q_pts * wp[:, None], 0) / n_pair
-        cc = jnp.sum(c_pts * wp[:, None], 0) / n_pair
-        var_q = jnp.sum(wp * jnp.sum((q_pts - cq) ** 2, -1))
-        var_c = jnp.sum(wp * jnp.sum((c_pts - cc) ** 2, -1))
-        raw = jnp.sqrt(var_q / jnp.maximum(var_c, 1e-12))
-        usable = (jnp.sum(wp) >= 8) & (var_c > 1e-9) & jnp.isfinite(raw)
-        scale = jnp.where(usable, raw, 1.0)
+        idx_safe = jnp.clip(idx, 0, F - 1)
+        if feat_angle_flat is not None:
+            ok = _hm.rotation_consistency(
+                feat_angle_flat[q_rows], arc.angle[a][idx_safe], ok
+            )
+        match_pts = arc.pt_pos[a][idx_safe]
+        if use_pnp:
+            # Archive loops can sit in a DIFFERENT basin than the
+            # current pose (monocular scale drift; across a hard-reset
+            # epoch the whole world frame differs) — seed from the
+            # 2D-3D matches.
+            from ..solvers import pnp as _pnp
+            pr = _pnp.ransac_pnp(
+                match_pts, q_px, ok, cam,
+                key=jax.random.fold_in(jax.random.PRNGKey(29), a),
+                n_hyp=256,
+            )
+            seed_ok = pr.ok & (pr.n_inliers >= 6)
+            T_init = jax.tree.map(
+                lambda x, y: jnp.where(seed_ok, x, y), pr.T_cw, T_stored)
+        else:
+            T_init = T_stored
+        T_opt, inlier, _ = pose_only_ba(T_init, match_pts, q_px, ok, cam)
+        n_inl = jnp.sum(inlier)
+        T_loop = T_opt.compose(SE3.from_params7(arc.pose7[a]).inverse())
+        # Relative map scale: matched pairs give the SAME physical
+        # points in two metrics — the current (possibly drifted) live
+        # map and the archived snapshot (old metric).  The centroid-
+        # spread ratio (Horn's closed-form similarity scale) is
+        # pose-free; monocular Sim(3) loop closure needs it for the
+        # 7-DoF edge.  1.0 when the live landmark links are not
+        # supplied or pairs are degenerate.
+        scale = jnp.asarray(1.0, q_px.dtype)
+        if q_point is not None and pt_pos is not None:
+            q_lm_ok = q_valid & (q_point >= 0)
+            if pt_valid is not None:
+                q_lm_ok = q_lm_ok & pt_valid[
+                    jnp.clip(q_point, 0, pt_pos.shape[0] - 1)]
+            pair = inlier & q_lm_ok
+            wp = pair.astype(q_px.dtype)
+            n_pair = jnp.maximum(jnp.sum(wp), 1.0)
+            q_pts = pt_pos[jnp.clip(q_point, 0, pt_pos.shape[0] - 1)]
+            c_pts = match_pts
+            cq = jnp.sum(q_pts * wp[:, None], 0) / n_pair
+            cc = jnp.sum(c_pts * wp[:, None], 0) / n_pair
+            var_q = jnp.sum(wp * jnp.sum((q_pts - cq) ** 2, -1))
+            var_c = jnp.sum(wp * jnp.sum((c_pts - cc) ** 2, -1))
+            raw = jnp.sqrt(var_q / jnp.maximum(var_c, 1e-12))
+            usable = ((jnp.sum(wp) >= 8) & (var_c > 1e-9)
+                      & jnp.isfinite(raw))
+            scale = jnp.where(usable, raw, 1.0)
+        return T_loop.params7(), n_inl, scale
+
+    cand_T7, cand_inl, cand_scale = jax.vmap(verify)(cand)
+    cand_inl = jnp.where(plausible_c, cand_inl, 0)
+    best_c = jnp.argmax(cand_inl)
+    n_inl = cand_inl[best_c]
+    found = n_inl >= min_inliers
     return LoopResult(
-        found=found, loop_kf=best, T_loop7=T_loop.params7(),
-        scale=scale,
+        found=found, loop_kf=cand[best_c], T_loop7=cand_T7[best_c],
+        scale=cand_scale[best_c],
     )
 
 

@@ -147,7 +147,16 @@ class VOOptions:
                                       # low-frame-rate sequences)
     map_K: int = 10
     map_F: int = 256
-    map_L: int = 2000
+    map_L: int = 3072                 # >= map_K * map_F: the active
+                                      # window can link K*F=2560
+                                      # distinct landmarks, and a
+                                      # panning camera actually does —
+                                      # a 2000-row pool pinned and
+                                      # starved triangulation (measured
+                                      # on the round-4 benchmark:
+                                      # inliers sawtoothed 95->28 with
+                                      # zero new landmarks for 4
+                                      # keyframes straight)
     local_ba_iters: int = 8
     lost_reset_frames: int = 10
     stereo_baseline: float = 0.1      # meters (STEREO sensor)
@@ -158,8 +167,13 @@ class VOOptions:
                                       # vocabulary (assets/orbvoc_10k);
                                       # False = 512-word bootstrap
     reloc_min_inliers: int = 20
-    reloc_top_c: int = 3              # BoW candidates geometrically
-                                      # verified per reloc attempt
+    reloc_top_c: int = 10             # BoW candidates geometrically
+                                      # verified per reloc attempt.
+                                      # BoW retrieval ranks the true
+                                      # twin ~39th at archive=200
+                                      # (docs/vocabulary.md); the
+                                      # batched P3P verifier is cheap
+                                      # on-chip, so verify wide.
     reloc_use_pnp: bool = True        # P3P-RANSAC pose seed (prior-
                                       # free; falls back to the stored
                                       # keyframe pose when degenerate)
@@ -175,6 +189,9 @@ class VOOptions:
                                       # (Memory.h:16-56 semantics)
     loop_min_frame_gap: int = 50      # archive loop candidates must be
                                       # this many frames older
+    loop_top_c: int = 8               # archive loop candidates
+                                      # geometrically verified per
+                                      # keyframe (vmapped, near-free)
     global_pg_iters: int = 25         # global pose-graph GN iterations
     sim3_loops: bool = True           # 7-DoF (Sim3) global pose graph:
                                       # archive loops also absorb the
@@ -192,6 +209,15 @@ class VOOptions:
                                       # (ORB-SLAM's TH_HIGH regime; the
                                       # BoW TH_LOW=50 stays in hamming
                                       # match_nn, Matcher.cpp:250-283)
+    async_mapping: bool = False       # run the keyframe mapping pass
+                                      # (loop closing + local BA +
+                                      # culling) on a worker thread,
+                                      # off the frame-return path; all
+                                      # state consumers join first, so
+                                      # trajectories are identical to
+                                      # synchronous mode (the decoupled
+                                      # mapping the reference declared,
+                                      # system.h:80-83)
     sd_budget: int = 512              # semi-dense gradient pixels/KF
     sd_cell: int = 8
     sd_min_grad: float = 8.0
@@ -254,6 +280,10 @@ class VisualOdometry:
         self.init_used_h = None   # which RANSAC model bootstrapped
         self._last_reloc_arc_idx = None  # archive row of the last
                                          # successful archive reloc
+        self._map_thread = None      # async mapping worker (if any)
+        self._map_exc = None
+        self._map_pending_pose7 = None
+        self._map_fixup_start = 0
         self.trajectory: list[tuple[float, np.ndarray]] = []
         # Per-run counters (the reference glogs these at every stage,
         # SURVEY §5; exposed here as a dict + optional log lines).
@@ -710,6 +740,7 @@ class VisualOdometry:
                     feat_angle_flat=mstate.feat_angle.reshape(-1),
                     feat_point_flat=mstate.feat_point.reshape(-1),
                     pt_pos=mstate.pt_pos, pt_valid=mstate.pt_valid,
+                    top_c=o.loop_top_c,
                 )
 
             self._jit_reloc_arc = _reloc_arc
@@ -766,6 +797,7 @@ class VisualOdometry:
         keyframe with depth-initialized landmarks (no monocular
         bootstrap), and keyframe insertion measures new-feature depths
         from the sensor."""
+        self._join_mapping()
         self.frame_id += 1
         pyr = fe.preprocess(jnp.asarray(img), self.o.n_levels)
         self.cur_depth = None if depth is None else jnp.asarray(depth)
@@ -874,6 +906,7 @@ class VisualOdometry:
         results: list[TrackResult] = []
         i = 0
         while i < n:
+            self._join_mapping()
             # Per-frame path whenever chunking can't apply (also keeps
             # compilation to ONE chunk length: short tails go
             # per-frame rather than compiling per remainder length).
@@ -1246,6 +1279,23 @@ class VisualOdometry:
         o, srv = self.o, self.server
         self.stats["keyframes"] += 1
         L, Fcap = o.map_L, o.map_F
+        if len(srv.kf_used) >= o.map_K:
+            # Registering this keyframe will evict a slot anyway; do
+            # it NOW and sweep the evictee's orphaned landmark rows so
+            # they are allocatable for THIS keyframe's triangulations.
+            # Evicting after allocation returns freed rows one keyframe
+            # late — on a panning trajectory that lag alone starved
+            # triangulation for several keyframes (measured, round 4).
+            # Landmarks the tracker is CURRENTLY observing are spared
+            # even when the evictee was their last observer: the
+            # feature table below re-links them to this keyframe
+            # (culling them instead measurably drops tracking inliers
+            # at every eviction).
+            srv.alloc_kf_slot()
+            srv.state = ms.update_covisibility(srv.state)
+            m_ = srv.state
+            orphaned = m_.pt_valid & (m_.pt_obs == 0) & (~tm.found)
+            srv.state = m_._replace(pt_valid=m_.pt_valid & (~orphaned))
         mstate = srv.state
         # --- feature table: half landmark observations, half new ---
         Fl = Fcap // 2
@@ -1350,6 +1400,80 @@ class VisualOdometry:
                 )
                 self.seed_kf_slot = slot
                 self.seed_feat_idx = Fl + jnp.arange(Fn, dtype=jnp.int32)
+        self.last_kf_slot = slot
+        self.frames_since_kf = 0
+        kf_fid = self.frame_id
+        if o.async_mapping:
+            # Decoupled mapping (the reference DECLARED the ORB-SLAM
+            # three-thread split but never wired it, system.h:80-83):
+            # the expensive keyframe work — loop detection, local BA,
+            # culling — runs on a worker thread, overlapping the
+            # caller's next-frame acquisition; every state consumer
+            # joins first (_join_mapping), so results are EXACTLY the
+            # synchronous ones, just off the frame-return path.
+            self._last_kf_fid = kf_fid
+            self._last_kf_pose7 = np.asarray(
+                T_cw.params7(), np.float32
+            )  # provisional; finalized (post-BA) at join
+            import threading
+            self._map_fixup_start = len(self.traj_rel)
+
+            def _work():
+                try:
+                    self._map_pending_pose7 = (
+                        self._keyframe_mapping_pass(slot, kf_fid)
+                    )
+                except BaseException as e:   # re-raised at join
+                    self._map_exc = e
+
+            self._map_thread = threading.Thread(
+                target=_work, name="ygz-mapping", daemon=True
+            )
+            self._map_thread.start()
+            return
+        pose7_slot = self._keyframe_mapping_pass(slot, kf_fid)
+        self._finish_keyframe(pose7_slot)
+
+    def _finish_keyframe(self, pose7_slot):
+        """Publish the mapping pass's host-visible pose state: tracking
+        continues against the BA/loop-refined keyframe pose."""
+        self.prev_T_cw = SE3.from_params7(jnp.asarray(pose7_slot))
+        self.T_cw = self.prev_T_cw
+        self._last_kf_pose7 = np.asarray(pose7_slot, np.float32)
+
+    def _join_mapping(self):
+        """Barrier for the async mapping thread: applies the deferred
+        host-pose updates and re-anchors trajectory entries appended
+        while the pass was in flight (at most the keyframe's own frame),
+        making the exported trajectory identical to synchronous mode."""
+        th = getattr(self, "_map_thread", None)
+        if th is None:
+            return
+        th.join()
+        self._map_thread = None
+        exc = getattr(self, "_map_exc", None)
+        if exc is not None:
+            self._map_exc = None
+            raise exc
+        self._finish_keyframe(self._map_pending_pose7)
+        # Deterministic fix-up: entries anchored on the new keyframe
+        # recompute their relative pose against its FINAL (post-BA)
+        # pose — exactly what the synchronous path records.
+        for i in range(self._map_fixup_start, len(self.traj_rel)):
+            ts, fid, _ = self.traj_rel[i]
+            if fid == self._last_kf_fid:
+                abs7 = self.trajectory[i][1]
+                self.traj_rel[i] = (ts, fid, np_se3.relative7(
+                    abs7, self._last_kf_pose7
+                ).astype(np.float32))
+
+    def _keyframe_mapping_pass(self, slot, kf_fid):
+        """Loop closing + local BA + culling for a just-inserted
+        keyframe (LocalMapping::Run, LocalMapping.cpp:301-336 — the
+        work the reference intended for its mapping thread).  Thread-
+        safe against the tracking path under the _join_mapping
+        discipline; returns the keyframe's refined pose7 (np)."""
+        o, srv = self.o, self.server
         # --- loop closing (LoopClosing placeholder, loop_closing.h) ---
         if self.vocab is not None and o.loop_closing:
             closed = False
@@ -1369,7 +1493,7 @@ class VisualOdometry:
                 # capability the fixed window alone cannot provide.
                 srv.refresh_covisibility()
                 lpa = self._jit_loop_arc(
-                    jnp.asarray(slot), jnp.asarray(self.frame_id),
+                    jnp.asarray(slot), jnp.asarray(kf_fid),
                     self.kf_bow, self.kf_nodes, srv.state,
                     self.archive.device_view(),
                 )
@@ -1395,12 +1519,6 @@ class VisualOdometry:
         srv.refresh_covisibility()
         srv.state, _ = self._jit_mapping(srv.state, fixed)
         self._cull_keyframes(protect={slot, oldest})
-        self.last_kf_slot = slot
-        self.frames_since_kf = 0
-        # Update prev bookkeeping so tracking continues against the
-        # BA-refined state.
-        self.prev_T_cw = srv.state.kf_pose(slot)
-        self.T_cw = self.prev_T_cw
         # Refresh the host-side keyframe pose log (trajectory
         # anchoring) with the BA/loop-refined active poses.
         pose7_np = np.asarray(srv.state.kf_pose7)
@@ -1410,18 +1528,18 @@ class VisualOdometry:
             self.kf_pose_log[fid_s] = pose7_np[s].copy()
             self._fid_epoch.setdefault(fid_s, self.epoch)
         self._last_kf_fid = int(id_np[slot])
-        self._last_kf_pose7 = pose7_np[slot].copy()
         if log.isEnabledFor(logging.INFO):
             m = srv.state
             log.info(
                 "keyframe %d -> slot %d: landmarks=%d active_kfs=%d "
                 "archived=%d loops(active/global)=%d/%d",
-                self.frame_id, slot, int(np.asarray(m.pt_valid).sum()),
+                kf_fid, slot, int(np.asarray(m.pt_valid).sum()),
                 len(srv.kf_used),
                 self.archive.count if self.archive else 0,
                 self.stats["loops_closed_active"],
                 self.stats["loops_closed_global"],
             )
+        return pose7_np[slot].copy()
 
     # -- semi-dense / dense map maintenance ------------------------------
     def _mean_map_depth(self, slot) -> float:
@@ -1482,6 +1600,7 @@ class VisualOdometry:
         """The configured map type's point content as [N, 3] world
         coordinates: landmarks (SPARSE) + semi-dense keyframe depth
         maps (SEMI_DENSE) + back-projected depth images (DENSE)."""
+        self._join_mapping()
         m = self.server.state
         sel = np.asarray(m.pt_valid)
         clouds = [np.asarray(m.pt_pos)[sel]]
@@ -1865,6 +1984,7 @@ class VisualOdometry:
         pose and the stored relative transform — the standard
         SaveTrajectory construction, which the pose graph retroactively
         improves."""
+        self._join_mapping()
         out: list[tuple[float, np.ndarray]] = []
         for (ts, abs7), (_, fid, rel7) in zip(
             self.trajectory, self.traj_rel
@@ -1883,6 +2003,7 @@ class VisualOdometry:
         tables) and, with `recompute`, regenerates every stored BoW
         vector/node table — active window AND archive — so matching
         stays consistent."""
+        self._join_mapping()
         self.vocab = vocab
         o = self.o
         self._build_jits()
@@ -1919,6 +2040,7 @@ class VisualOdometry:
         Returns False when too few descriptors have accumulated."""
         if self.vocab is None:
             return False
+        self._join_mapping()
         m = self.server.state
         descs = [np.asarray(m.feat_desc.reshape(-1, 8))[
             np.asarray((m.feat_valid & m.kf_valid[:, None]).reshape(-1))
@@ -1991,6 +2113,7 @@ class VisualOdometry:
 
     def reset(self):
         """Full reset (System::Reset surface)."""
+        self._join_mapping()
         o = self.o
         # Preserve the old map before discarding the window: every
         # still-active keyframe archives into its (closing) epoch, so

@@ -74,6 +74,60 @@ def match_nn(
     return jnp.where(ok, best_idx, -1).astype(jnp.int32), ok
 
 
+def archive_match_scores(
+    q_desc: jnp.ndarray,
+    q_valid: jnp.ndarray,
+    arc_desc: jnp.ndarray,
+    arc_valid: jnp.ndarray,
+    max_dist: int = 64,
+    chunk: int = 32,
+) -> jnp.ndarray:
+    """Match-count retrieval score of one query frame against EVERY
+    archived keyframe: score[a] = #{query descriptors whose nearest
+    descriptor in archive row a lies within `max_dist`}.
+
+    This replaces inverted-index (BoW) candidate RANKING for
+    relocalization and loop detection — a deliberate tpu-first
+    redesign of DBoW3's retrieval (thirdparty/DBoW3/src/Database.cpp):
+    the inverted index exists to avoid brute-force descriptor matching
+    on CPUs, but on the VPU the full cross-matching score is ~13M
+    popcounts at A=200 x 256 x 256 (microseconds), and it ranks the
+    true revisit FIRST where BoW L1 ranks it ~39th (measured,
+    docs/vocabulary.md).  The BoW tree remains as a coarse prefilter
+    for very large archives (see callers) and for API parity.
+
+    q_desc [F, 8] uint32, q_valid [F] bool, arc_desc [A, F, 8] uint32,
+    arc_valid [A, F] bool -> [A] int32.  Memory is bounded by
+    processing archive rows in chunks of `chunk` ([chunk, F, F]
+    intermediates), so capacity-sized archives never materialize an
+    [A, F, F] tensor.
+    """
+    BIG = jnp.int32(1 << 14)
+    A, F = arc_desc.shape[0], arc_desc.shape[1]
+
+    def score_rows(args):
+        d_rows, v_rows = args                       # [C, F, 8], [C, F]
+        d = jnp.sum(
+            popcount_u32(q_desc[None, :, None, :] ^ d_rows[:, None, :, :]),
+            axis=-1,
+        ).astype(jnp.int32)                         # [C, Fq, Fc]
+        d = jnp.where(v_rows[:, None, :], d, BIG)
+        best = jnp.min(d, axis=-1)                  # [C, Fq]
+        hit = (best <= max_dist) & q_valid[None, :]
+        return jnp.sum(hit, axis=-1).astype(jnp.int32)
+
+    if A % chunk == 0 and A > chunk:
+        n = A // chunk
+        scores = jax.lax.map(
+            score_rows,
+            (arc_desc.reshape(n, chunk, F, 8),
+             arc_valid.reshape(n, chunk, F)),
+        ).reshape(A)
+    else:
+        scores = score_rows((arc_desc, arc_valid))
+    return scores
+
+
 def rotation_consistency(
     angle_a: jnp.ndarray,
     angle_b: jnp.ndarray,

@@ -151,6 +151,7 @@ class System:
         """Serialize the full MapState + server bookkeeping + the
         VO-side arrays needed to RESUME from the map (keyframe BoW
         vectors/nodes and keyframe images for patch tracking)."""
+        self.vo._join_mapping()
         m = self.vo.server.state
         arrays = {f: np.asarray(getattr(m, f)) for f in m._fields}
         arrays["__kf_used"] = np.asarray(self.vo.server.kf_used, np.int32)
@@ -180,6 +181,7 @@ class System:
         """Restore a saved map.  The next tracked frame relocalizes
         against it (the VO's NOT_READY state tries BoW relocalization
         when the map is non-empty)."""
+        self.vo._join_mapping()
         data = np.load(path)
         m = self.vo.server.state
         fields = {f: jnp.asarray(data[f]) for f in m._fields}

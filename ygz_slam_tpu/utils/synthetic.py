@@ -117,6 +117,11 @@ class BoxScene:
     # Face definitions: (axis, sign) — plane axis=coord, normal inward.
     _FACES = [(0, -1.0), (0, 1.0), (1, -1.0), (1, 1.0), (2, -1.0), (2, 1.0)]
 
+    # Mip levels: level k is the base texture low-passed with a
+    # (2^k)-texel box, so a pixel whose ground footprint spans ~2^k
+    # texels samples an area average like a real sensor does.
+    N_MIPS = 5
+
     def __init__(self, cam, half=(4.0, 2.0, 4.0), tex_size: int = 2048,
                  tex_per_meter: float = 220.0, seed: int = 0,
                  vignette: float = 0.0, tex_decay: float = 0.7):
@@ -133,10 +138,40 @@ class BoxScene:
         # 220/m keep FINE contrast alive in near-wall views (1024@110
         # bottomed out at 6.5 near walls; 2048@220/0.7 -> min 11.2,
         # median 20 — roughly uniform).
-        self.texs = jnp.stack([
+        base = [
             make_texture(tex_size, seed + 101 * f, decay=tex_decay)
             for f in range(6)
-        ])
+        ]
+        # Mip pyramid per face (same resolution, increasingly low-
+        # passed): POINT-sampled bilinear at >1 texel/pixel footprints
+        # aliases — measured on the oblique benchmark views: same-
+        # physical-point ORB distance jumped to a median of 56 (past
+        # the 50 match gate) and FAST repeatability halved, killing
+        # triangulation in corner-facing sections.  Real sensors
+        # area-integrate; trilinear mip sampling is the standard
+        # antialiasing answer.
+        self.texs = jnp.stack([
+            jnp.stack(self._mip_stack(t)) for t in base
+        ])  # [6, N_MIPS, S, S]
+
+    def _mip_stack(self, tex: jnp.ndarray) -> list:
+        out = [tex]
+        t = np.asarray(tex)
+        size = t.shape[0]
+        for k in range(1, self.N_MIPS):
+            w = 1 << k
+            c = np.cumsum(np.pad(t, ((1, 0), (0, 0))), axis=0,
+                          dtype=np.float64)
+            b = (c[w:] - c[:-w]) / w
+            b = np.pad(b, ((w // 2, size - b.shape[0] - w // 2), (0, 0)),
+                       mode="edge")
+            c = np.cumsum(np.pad(b, ((0, 0), (1, 0))), axis=1,
+                          dtype=np.float64)
+            b = (c[:, w:] - c[:, :-w]) / w
+            b = np.pad(b, ((0, 0), (w // 2, size - b.shape[1] - w // 2)),
+                       mode="edge")
+            out.append(jnp.asarray(b.astype(np.float32)))
+        return out
 
     def _hits(self, px: jnp.ndarray, T_cw: SE3):
         """Nearest positive face hit for each pixel ray.
@@ -172,18 +207,55 @@ class BoxScene:
         pts, _, _ = self._hits(px, T_cw)
         return pts
 
-    def _shade(self, pts: jnp.ndarray, face: jnp.ndarray) -> jnp.ndarray:
+    def _shade(self, pts: jnp.ndarray, face: jnp.ndarray,
+               footprint: jnp.ndarray | None = None) -> jnp.ndarray:
         """Sample each face's texture at the hit point's two in-plane
-        world coordinates."""
+        world coordinates — trilinearly across the mip stack when a
+        per-pixel texel `footprint` is given (area-integrating like a
+        real sensor; see __init__)."""
+        if footprint is None:
+            lvl = jnp.zeros(pts.shape[:-1], pts.dtype)
+        else:
+            lvl = jnp.clip(
+                jnp.log2(jnp.maximum(footprint, 1.0)),
+                0.0, float(self.N_MIPS - 1) - 1e-4,
+            )
+        l0 = lvl.astype(jnp.int32)
+        frac = lvl - l0.astype(lvl.dtype)
         out = jnp.zeros(pts.shape[:-1], pts.dtype)
         for f, (ax, sign) in enumerate(self._FACES):
             oth = [a for a in range(3) if a != ax]
             tx = pts[..., oth[0]] * self.tex_per_meter + self.tex_size / 2
             ty = pts[..., oth[1]] * self.tex_per_meter + self.tex_size / 2
-            val = bilinear(self.texs[f],
-                           jnp.stack([tx, ty], axis=-1))
+            uv = jnp.stack([tx, ty], axis=-1)
+            mips = jnp.stack([
+                bilinear(self.texs[f, l], uv) for l in range(self.N_MIPS)
+            ])                                   # [M, ...]
+            v0 = jnp.take_along_axis(mips, l0[None], axis=0)[0]
+            v1 = jnp.take_along_axis(
+                mips, jnp.minimum(l0 + 1, self.N_MIPS - 1)[None], axis=0
+            )[0]
+            val = v0 * (1.0 - frac) + v1 * frac
             out = jnp.where(face == f, val, out)
         return out
+
+    def _footprint(self, px: jnp.ndarray, T_cw: SE3, face, t_best):
+        """Texels spanned by one pixel at each hit: distance *
+        tex_per_meter / fx, divided by the wall-incidence cosine
+        (clamped — grazing rays would otherwise blur unboundedly)."""
+        T_wc = T_cw.inverse()
+        bearing_c = self.cam.pixel_to_camera(px, 1.0, distorted=True)
+        d_w = jnp.einsum("ij,...j->...i", T_wc.R, bearing_c)
+        d_norm = jnp.linalg.norm(d_w, axis=-1)
+        dist = t_best * d_norm
+        ax = jnp.asarray([f[0] for f in self._FACES], jnp.int32)[face]
+        d_ax = jnp.take_along_axis(
+            jnp.moveaxis(d_w, -1, 0), ax[None], axis=0
+        )[0]
+        cos_inc = jnp.clip(jnp.abs(d_ax) / jnp.maximum(d_norm, 1e-9),
+                           0.25, 1.0)
+        fx = self.cam.fx
+        return dist * self.tex_per_meter / fx / cos_inc
 
     def render(self, T_cw: SE3, shape: tuple[int, int],
                gain: float = 1.0, bias: float = 0.0) -> jnp.ndarray:
@@ -194,8 +266,9 @@ class BoxScene:
         u, v = jnp.meshgrid(jnp.arange(W, dtype=jnp.float32),
                             jnp.arange(H, dtype=jnp.float32))
         px = jnp.stack([u, v], axis=-1)
-        pts, face, _ = self._hits(px, T_cw)
-        img = self._shade(pts, face)
+        pts, face, t_best = self._hits(px, T_cw)
+        fp = self._footprint(px, T_cw, face, t_best)
+        img = self._shade(pts, face, fp)
         img = gain * img + bias
         if self.vignette > 0.0:
             cx, cy = (W - 1) / 2.0, (H - 1) / 2.0
@@ -214,22 +287,41 @@ class BoxScene:
 
 def loop_trajectory(n_frames: int, radius: float = 2.2,
                     laps: float = 1.08, bob: float = 0.08,
-                    seed: int = 0):
-    """Camera loop inside a BoxScene: a circle in the x-z plane facing
-    tangentially (always toward the walls), with small smooth y-bob and
-    attitude perturbations.  `laps` > 1 revisits the start — the loop-
-    closure event.  Returns a list of T_cw (world -> camera)."""
+                    seed: int = 0, face: str = "tangent"):
+    """Camera loop inside a BoxScene: a circle in the x-z plane, with
+    small smooth y-bob and attitude perturbations.  `laps` > 1
+    revisits the start — the loop-closure event.  Returns a list of
+    T_cw (world -> camera).
+
+    `face` picks the viewing direction: "tangent" looks along the
+    direction of travel (corridor-style views — the sharpest direct-
+    tracking stress: wall incidence gets as shallow as asin(radius /
+    half), and those grazing sections are where round-3's benchmark
+    lost track); "out" looks radially outward (head-on wall views,
+    translation parallel to the image plane — the wide-baseline,
+    texture-rich regime loop-closure benchmarks need, and the view a
+    revisit reproduces exactly)."""
     poses = []
     rng = np.random.default_rng(seed)
     ph = rng.uniform(0, 2 * np.pi, 3)
     for k in range(n_frames):
         a = 2 * np.pi * laps * k / n_frames
         # Camera center on the circle; forward (camera +z) along the
-        # tangent; camera y down-ish (world -y up convention-free).
+        # tangent or radially out; camera y down-ish (world -y up
+        # convention-free).
         c = np.asarray([radius * np.sin(a),
                         bob * np.sin(3 * a + ph[0]),
                         -radius * np.cos(a)], np.float32)
-        yaw = a + 0.12 * np.sin(2 * a + ph[1])
+        if face == "out":
+            # Forward angle (from +x toward +z) is pi/2 - yaw and the
+            # outward radial is at a - pi/2, so yaw = pi - a locks the
+            # view to the outward radial for the whole lap.  (The
+            # legacy yaw = a actually sweeps the view through inward/
+            # tangent/outward TWICE per lap — measured; corridor views
+            # 4x per lap were the round-3 loss sections.)
+            yaw = np.pi - a + 0.12 * np.sin(2 * a + ph[1])
+        else:
+            yaw = a + 0.12 * np.sin(2 * a + ph[1])
         pitch = 0.05 * np.sin(2.4 * a + ph[2])
         cy, sy = np.cos(yaw), np.sin(yaw)
         cp, sp = np.cos(pitch), np.sin(pitch)
