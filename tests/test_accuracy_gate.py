@@ -16,11 +16,13 @@ def test_box_loop_prefix_ate():
     import bench_accuracy
 
     res = bench_accuracy.run(150, horizon=2000, log_every=0)
-    assert res["frac_good"] > 0.85, res
-    # Path arc ~1.5 m over 150 frames of the 12x8 m room; measured
-    # regime on the final benchmark world is ATE ~0.18 m (monocular
-    # drift, no loop closure at this length).  Bound at ~1.5x so only
-    # real regressions (not run-to-run noise) trip it.
-    assert res["ate_rmse"] < 0.28, res
+    assert res["frac_good"] > 0.9, res
+    # Measured regime on the round-4 benchmark world (mipmapped
+    # renderer, face-out trajectory): ATE 0.059 m at a 200-frame
+    # prefix (monocular drift, no loop closure at this length).
+    # Bound at ~1.5x the measured value — and BELOW the round-2
+    # bound (0.16), restoring the ratchet direction the round-3
+    # review flagged (it had loosened to 0.28).
+    assert res["ate_rmse"] < 0.10, res
     assert res["n_segments"] == 1, res
     assert res["keyframes"] >= 4, res

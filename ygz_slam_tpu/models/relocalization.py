@@ -77,7 +77,7 @@ def relocalize(
     # Evaluate the top_c BoW candidates (BoW similarity alone is not
     # discriminative enough in self-similar scenes; ORB-SLAM's
     # relocalization also geometrically checks several candidates).
-    _, cand_kfs = jax.lax.top_k(scores, top_c)
+    _, cand_kfs = jax.lax.top_k(scores, min(top_c, K))
 
     def try_candidate(kf):
         rows = kf * F + jnp.arange(F)
@@ -168,7 +168,7 @@ def relocalize_archive(
     scores = _archive_retrieval_scores(
         vocab, q_desc, q_valid, arc, arc.valid
     )
-    _, cand = jax.lax.top_k(scores, top_c)
+    _, cand = jax.lax.top_k(scores, min(top_c, scores.shape[0]))
 
     def try_candidate(a):
         c_valid = arc.feat_valid[a] & arc.pt_ok[a]
@@ -384,7 +384,9 @@ def detect_loop_archive(
     cand_scores = _archive_retrieval_scores(
         vocab, q_desc, q_valid, arc, arc.valid & gap_ok
     )
-    c_scores, cand = jax.lax.top_k(cand_scores, top_c)
+    c_scores, cand = jax.lax.top_k(
+        cand_scores, min(top_c, cand_scores.shape[0])
+    )
     plausible_c = c_scores >= jnp.float32(min_inliers)
     T_stored = SE3.from_params7(kf_pose7[new_slot])
     q_point = (feat_point_flat[q_rows]
