@@ -450,7 +450,10 @@ def detect_loop_archive(
             var_q = jnp.sum(wp * jnp.sum((q_pts - cq) ** 2, -1))
             var_c = jnp.sum(wp * jnp.sum((c_pts - cc) ** 2, -1))
             raw = jnp.sqrt(var_q / jnp.maximum(var_c, 1e-12))
-            usable = ((jnp.sum(wp) >= 8) & (var_c > 1e-9)
+            # >=16 pairs: the spread-ratio scale estimate is the
+            # noisiest loop measurement; with fewer pairs a bad lam
+            # rescales the whole map through the Sim(3) graph.
+            usable = ((jnp.sum(wp) >= 16) & (var_c > 1e-9)
                       & jnp.isfinite(raw))
             scale = jnp.where(usable, raw, 1.0)
         return T_loop.params7(), n_inl, scale
@@ -477,7 +480,30 @@ def apply_global_correction(mstate, new_pose7, new_scale=None):
     divided by s); jittable."""
     m = mstate
     K = m.kf_pose7.shape[0]
-    anchor = jnp.clip(m.pt_first_kf, 0, K - 1)
+    # Anchor each landmark on a CURRENTLY OBSERVING keyframe, not its
+    # creator slot: pt_first_kf stores a window SLOT, and slots are
+    # recycled at eviction (hundreds of keyframes flow through a
+    # 10-slot window on long runs), so the creator slot usually holds
+    # an UNRELATED keyframe by closure time — re-anchoring by it moves
+    # the landmark by the wrong correction and corrupts the map
+    # (measured: benchmark closures with recycled slots made ATE
+    # worse than no loop closing at all).  Fall back to the creator
+    # slot only for unobserved landmarks (they are cull fodder).
+    L = m.pt_pos.shape[0]
+    fp = m.feat_point
+    link_ok = m.feat_valid & (fp >= 0) & m.kf_valid[:, None]
+    fp_safe = jnp.clip(fp, 0, L - 1)
+    slot_of = jnp.broadcast_to(
+        jnp.arange(K, dtype=jnp.int32)[:, None], fp.shape
+    )
+    obs_anchor = (
+        jnp.full(L, -1, jnp.int32)
+        .at[fp_safe.reshape(-1)]
+        .max(jnp.where(link_ok, slot_of, -1).reshape(-1))
+    )
+    anchor = jnp.where(
+        obs_anchor >= 0, obs_anchor, jnp.clip(m.pt_first_kf, 0, K - 1)
+    )
     T_old = SE3.from_params7(m.kf_pose7[anchor])
     T_new = SE3.from_params7(new_pose7[anchor])
     p_cam = T_old.apply(m.pt_pos)
@@ -698,10 +724,13 @@ def close_loop(
     pt_pos, pt_valid, pt_first_kf,
     new_slot, loop: LoopResult,
     n_iter: int = 20,
+    feat_point=None, feat_valid=None,
 ):
     """Apply a verified loop: pose-graph optimization over covisibility
-    edges + the loop edge, then re-anchor landmarks by their creating
-    keyframe's correction (the standard map update after PGO).
+    edges + the loop edge, then re-anchor landmarks by an OBSERVING
+    keyframe's correction (the standard map update after PGO; see
+    apply_global_correction for why the creator slot is only the
+    fallback anchor — window slots are recycled).
 
     Returns (kf_pose7, pt_pos) corrected (jittable).
     """
@@ -727,6 +756,19 @@ def close_loop(
     poses_new, chi2 = pg.optimize(poses_old, edges, fixed, n_iter=n_iter)
     # Landmark re-anchoring: p' = T_new_anchor^-1 * T_old_anchor * p.
     anchor = jnp.clip(pt_first_kf, 0, K - 1)
+    if feat_point is not None and feat_valid is not None:
+        L = pt_pos.shape[0]
+        link_ok = feat_valid & (feat_point >= 0) & kf_valid[:, None]
+        fp_safe = jnp.clip(feat_point, 0, L - 1)
+        slot_of = jnp.broadcast_to(
+            jnp.arange(K, dtype=jnp.int32)[:, None], feat_point.shape
+        )
+        obs_anchor = (
+            jnp.full(L, -1, jnp.int32)
+            .at[fp_safe.reshape(-1)]
+            .max(jnp.where(link_ok, slot_of, -1).reshape(-1))
+        )
+        anchor = jnp.where(obs_anchor >= 0, obs_anchor, anchor)
     T_old_a = jax.tree.map(lambda a: a[anchor], poses_old)
     T_new_a = jax.tree.map(lambda a: a[anchor], poses_new)
     p_cam = T_old_a.apply(pt_pos)
