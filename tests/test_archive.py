@@ -204,7 +204,14 @@ class TestArchiveLoopClosing:
         imgs = render(poses, scene)
         vo = run_vo(imgs)
         if vo.stats["loops_closed_global"] == 0:
-            pytest.skip("no loop closed on this seed")
+            # The significance gate declines closures whose measured
+            # correction sits below the verifier's noise floor — but
+            # then the revisit must still have been geometrically
+            # VERIFIED (counted as a confirmation), and the end-start
+            # consistency must already hold without a correction.
+            assert vo.stats["loops_confirmed"] >= 1, (
+                "loop neither closed nor confirmed", dict(vo.stats)
+            )
         entries = vo.trajectory_poses()
         # GT returns to start: compare est end vs est start after the
         # global correction, normalized by trajectory span.

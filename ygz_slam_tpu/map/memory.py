@@ -15,6 +15,7 @@ refresh.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from . import state as ms
@@ -78,8 +79,13 @@ class MapServer:
         return slot
 
     def refresh_covisibility(self):
-        self.state = ms.update_covisibility(self.state)
-        # Cull landmarks that lost every observation (e.g. after evict).
-        m = self.state
-        orphaned = m.pt_valid & (m.pt_obs == 0)
-        self.state = m._replace(pt_valid=m.pt_valid & (~orphaned))
+        self.state = _refresh_covis_jit(self.state)
+
+
+@jax.jit
+def _refresh_covis_jit(state):
+    """Covisibility update + orphan cull as ONE dispatch (this runs
+    2-3x per keyframe; the eager version paid ~8 host round trips)."""
+    state = ms.update_covisibility(state)
+    orphaned = state.pt_valid & (state.pt_obs == 0)
+    return state._replace(pt_valid=state.pt_valid & (~orphaned))

@@ -788,6 +788,112 @@ class VisualOdometry:
             self._jit_reloc = _reloc
             self._jit_loop = _loop
 
+        Fl = o.map_F // 2
+        Fn = o.map_F - Fl
+        have_vocab = self.vocab is not None
+
+        @jax.jit
+        def _kf_presweep(mstate, found):
+            """Post-eviction covisibility refresh + orphan sweep in ONE
+            dispatch (sparing currently-tracked landmarks — see
+            _insert_keyframe)."""
+            mstate = ms.update_covisibility(mstate)
+            orphaned = mstate.pt_valid & (mstate.pt_obs == 0) & (~found)
+            return mstate._replace(
+                pt_valid=mstate.pt_valid & (~orphaned)
+            )
+
+        @jax.jit
+        def _kf_assemble(mstate, pyr, found, obs_px, T_cw7,
+                         last_kf_slot, rows, n_free, slot, fid,
+                         kf_images):
+            """The ENTIRE synchronous keyframe-assembly pass as ONE
+            device program: feature-table construction, detection,
+            triangulation vs the last keyframe, re-description,
+            registration, landmark creation, descriptor refresh,
+            SearchInNeighbors fusion and the BoW transform.  The
+            per-op eager version cost ~40 host round trips — ~26 ms
+            EACH over the serving tunnel (measured ~6.5 s/keyframe on
+            the public-API bench); this is the keyframe-rate analogue
+            of the chunked tracking scan."""
+            T_cw = SE3.from_params7(T_cw7)
+            found_i = found.astype(jnp.int32)
+            _, top_rows = jax.lax.top_k(
+                found_i * (1 + mstate.pt_obs), Fl
+            )
+            lm_rows = top_rows.astype(jnp.int32)
+            lm_ok = found[lm_rows]
+            lm_px = obs_px[lm_rows]
+            z = T_cw.apply(mstate.pt_pos[lm_rows])[:, 2]
+            feats = _detect(pyr, lm_px, lm_ok)
+            new_px = feats.px[:Fn]
+            new_valid = feats.valid[:Fn]
+            new_desc = feats.desc[:Fn]
+            new_level = feats.level[:Fn]
+            new_angle = feats.angle[:Fn]
+            pos_w, good, _ = _triangulate(
+                mstate, new_px, new_desc, new_valid, new_angle,
+                T_cw7, last_kf_slot,
+            )
+            can_write = good & (jnp.arange(Fn) < n_free)
+            feat_px = jnp.concatenate([lm_px, new_px])
+            feat_level = jnp.concatenate(
+                [jnp.zeros(Fl, jnp.int32), new_level]
+            )
+            lm_angle, lm_desc = _describe_at(pyr[0], lm_px)
+            feat_angle = jnp.concatenate([lm_angle, new_angle])
+            feat_desc = jnp.concatenate([lm_desc, new_desc])
+            z_new = T_cw.apply(pos_w)[:, 2]
+            feat_depth = jnp.concatenate(
+                [jnp.where(lm_ok, z, -1.0),
+                 jnp.where(can_write, z_new, -1.0)]
+            )
+            feat_point = jnp.concatenate(
+                [jnp.where(lm_ok, lm_rows, -1),
+                 jnp.where(can_write, rows, -1)]
+            )
+            feat_valid = jnp.concatenate([lm_ok, new_valid])
+            st = ms.insert_keyframe(
+                mstate, slot, fid, T_cw, feat_px, feat_level,
+                feat_angle, feat_desc, feat_depth, feat_point,
+                feat_valid,
+            )
+            pd = st.pt_desc.at[lm_rows].set(
+                jnp.where(lm_ok[:, None], lm_desc, st.pt_desc[lm_rows])
+            )
+            st = st._replace(pt_desc=pd)
+            st = ms.add_landmarks(
+                st, rows, can_write, pos_w, new_desc, slot,
+                ref_feat=slot * o.map_F + Fl
+                + jnp.arange(Fn, dtype=jnp.int32),
+            )
+            kf_images = kf_images.at[slot].set(pyr[0])
+            st = lm.search_in_neighbors(st, cam, slot)
+            if have_vocab:
+                bow_row, nodes_row = _kf_bow(feat_desc, feat_valid)
+            else:
+                bow_row = jnp.zeros((1,), jnp.float32)
+                nodes_row = jnp.full((o.map_F,), -1, jnp.int32)
+            # Depth-filter seeding decisions (scalars pulled in the
+            # same round trip as the rest of the outputs).
+            fp_now = st.feat_point[slot][Fl + jnp.arange(Fn)]
+            depthless = new_valid & (~can_write) & (fp_now < 0)
+            z_map = jnp.where(
+                mstate.pt_valid,
+                SE3.from_params7(
+                    mstate.kf_pose7[last_kf_slot]
+                ).apply(mstate.pt_pos)[:, 2],
+                0.0,
+            )
+            mean_d = z_map.sum() / jnp.maximum(
+                mstate.pt_valid.sum(), 1
+            ).astype(z_map.dtype)
+            return (st, kf_images, bow_row, nodes_row, new_px,
+                    depthless, mean_d)
+
+        self._jit_kf_presweep = _kf_presweep
+        self._jit_kf_assemble = _kf_assemble
+
         @jax.jit
         def _arc_snapshot(mstate, slot):
             """One-dispatch gather of an evicted keyframe's archive
@@ -1331,14 +1437,54 @@ class VisualOdometry:
             # (culling them instead measurably drops tracking inliers
             # at every eviction).
             srv.alloc_kf_slot()
-            srv.state = ms.update_covisibility(srv.state)
-            m_ = srv.state
-            orphaned = m_.pt_valid & (m_.pt_obs == 0) & (~tm.found)
-            srv.state = m_._replace(pt_valid=m_.pt_valid & (~orphaned))
+            srv.state = self._jit_kf_presweep(srv.state, tm.found)
         mstate = srv.state
-        # --- feature table: half landmark observations, half new ---
         Fl = Fcap // 2
         Fn = Fcap - Fl
+        sensor = (getattr(self, "cur_depth", None) is not None
+                  or getattr(self, "cur_right", None) is not None)
+        if not sensor:
+            # Fast path (monocular): the whole assembly pass is ONE
+            # jitted program (_jit_kf_assemble) — the eager version
+            # below pays ~40 per-op host round trips (~26 ms each over
+            # a serving tunnel).  The sensor path keeps the eager
+            # reference implementation (depth/stereo sampling hooks
+            # between detection and registration).
+            rows_np = srv.alloc_landmark_rows(Fn)
+            n_free = len(rows_np)
+            rows = np.full(Fn, o.map_L - 1, np.int32)
+            rows[:n_free] = rows_np
+            used = set(srv.kf_used)
+            slot = next(s for s in range(o.map_K) if s not in used)
+            (srv.state, self.kf_images, bow_row, nodes_row, new_px,
+             depthless, mean_d_dev) = self._jit_kf_assemble(
+                mstate, pyr, tm.found, tm.obs_px, T_cw.params7(),
+                self.last_kf_slot, jnp.asarray(rows), n_free, slot,
+                self.frame_id, self.kf_images,
+            )
+            srv.kf_used.append(slot)
+            if self.vocab is not None:
+                self.kf_bow = self.kf_bow.at[slot].set(bow_row)
+                self.kf_nodes = self.kf_nodes.at[slot].set(nodes_row)
+            self._refresh_semidense(pyr, slot)
+            if self.o.use_depth_filter:
+                self._promote_seeds()
+                d_any, mean_d = jax.device_get(
+                    (jnp.any(depthless), mean_d_dev)
+                )
+                if bool(d_any):
+                    self.seeds = dfilt.Seeds.init(
+                        new_px, depthless,
+                        depth_mean=max(float(mean_d) or 1.0, 0.5),
+                        depth_min=0.1,
+                    )
+                    self.seed_kf_slot = slot
+                    self.seed_feat_idx = Fl + jnp.arange(
+                        Fn, dtype=jnp.int32
+                    )
+            self._finish_insert(pyr, T_cw, slot)
+            return
+        # --- feature table: half landmark observations, half new ---
         found_i = tm.found.astype(jnp.int32)
         _, top_rows = jax.lax.top_k(
             found_i * (1 + mstate.pt_obs), Fl
@@ -1439,6 +1585,12 @@ class VisualOdometry:
                 )
                 self.seed_kf_slot = slot
                 self.seed_feat_idx = Fl + jnp.arange(Fn, dtype=jnp.int32)
+        self._finish_insert(pyr, T_cw, slot)
+
+    def _finish_insert(self, pyr, T_cw, slot):
+        """Common tail of keyframe insertion: bookkeeping + the
+        mapping pass (synchronous or on the worker thread)."""
+        o = self.o
         self.last_kf_slot = slot
         self.frames_since_kf = 0
         kf_fid = self.frame_id
@@ -1811,17 +1963,19 @@ class VisualOdometry:
         fid = int(m.kf_id[slot])
         if fid < 0 or self.archive is None:
             return
-        pose7, desc, px, fvalid, pt_pos, pt_ok, angle, level = (
-            np.asarray(a) for a in self._jit_arc_snapshot(
-                m, jnp.asarray(slot)
-            )
+        # One batched device->host fetch for the whole record (the
+        # per-array np.asarray sequence paid ~11 tunnel round trips
+        # per eviction).
+        snap = self._jit_arc_snapshot(m, jnp.asarray(slot))
+        extras = (self.kf_images[slot],) + (
+            (self.kf_bow[slot], self.kf_nodes[slot])
+            if self.vocab is not None else ()
         )
-        img_u8 = np.clip(
-            np.asarray(self.kf_images[slot]), 0, 255
-        ).astype(np.uint8)
+        host = jax.device_get(tuple(snap) + extras)
+        pose7, desc, px, fvalid, pt_pos, pt_ok, angle, level = host[:8]
+        img_u8 = np.clip(host[8], 0, 255).astype(np.uint8)
         if self.vocab is not None:
-            bow = np.asarray(self.kf_bow[slot])
-            nodes = np.asarray(self.kf_nodes[slot])
+            bow, nodes = host[9], host[10]
         else:
             bow = np.zeros(1, np.float32)
             nodes = np.full(self.o.map_F, -1, np.int32)
