@@ -89,7 +89,33 @@ class KeyframeArchive:
             # by a measured Sim(3)).
             epoch=np.asarray(epoch, np.int32),
         ))
-        self._view = None
+        r = self._rows[-1]
+        n = self.count - 1
+        if self._view is not None and self.count <= self._view.valid.shape[0]:
+            # Incremental device update: ship ONE row instead of
+            # rebuilding the padded view.  The full rebuild re-uploads
+            # the whole archive — dominated by the [A, W] BoW block
+            # (~5 MB at W=10^4, A=128) — and appends happen at
+            # keyframe rate, so the rebuild path cost a measured
+            # ~7 MB x #keyframes of tunnel traffic on the public-API
+            # bench.
+            v = self._view
+            self._view = v._replace(
+                frame_id=v.frame_id.at[n].set(r["frame_id"]),
+                pose7=v.pose7.at[n].set(jnp.asarray(r["pose7"])),
+                bow=v.bow.at[n].set(jnp.asarray(r["bow"])),
+                nodes=v.nodes.at[n].set(jnp.asarray(r["nodes"])),
+                desc=v.desc.at[n].set(jnp.asarray(r["desc"])),
+                px=v.px.at[n].set(jnp.asarray(r["px"])),
+                angle=v.angle.at[n].set(jnp.asarray(r["angle"])),
+                feat_valid=v.feat_valid.at[n].set(
+                    jnp.asarray(r["feat_valid"])),
+                pt_pos=v.pt_pos.at[n].set(jnp.asarray(r["pt_pos"])),
+                pt_ok=v.pt_ok.at[n].set(jnp.asarray(r["pt_ok"])),
+                valid=v.valid.at[n].set(True),
+            )
+        else:
+            self._view = None
 
     # -- device view ----------------------------------------------------
     def _capacity(self) -> int:
@@ -164,7 +190,21 @@ class KeyframeArchive:
                     (p_cam / s_k - t_new) @ R_new
                 ).astype(np.float32)
             r["pose7"] = p.copy()
-        self._view = None
+        if self._view is not None:
+            # In-place device refresh of the two corrected fields
+            # (~0.4 MB) instead of a full view rebuild (~7 MB of which
+            # the untouched BoW block is the bulk).
+            v = self._view
+            A = v.pose7.shape[0]
+            pose_p = np.zeros((A, 7), np.float32)
+            pose_p[:self.count] = np.stack(
+                [r["pose7"] for r in self._rows])
+            pt_p = np.zeros((A,) + v.pt_pos.shape[1:], np.float32)
+            pt_p[:self.count] = np.stack(
+                [r["pt_pos"] for r in self._rows])
+            self._view = v._replace(
+                pose7=jnp.asarray(pose_p), pt_pos=jnp.asarray(pt_p)
+            )
 
     def recompute_bow(self, fn, n_words: int):
         """Recompute every archived row's BoW vector + node table under
