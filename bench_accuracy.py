@@ -81,11 +81,13 @@ def run(n_frames, loop_closing=True, seed=0, log_every=100,
         n_levels=n_levels,
         # The default tracking-lost gate (30 inliers; the reference's
         # own gate is a config value, LocalMapping.h:19) trips on
-        # TRANSIENT dips in the low-texture forward-motion sections
-        # (inliers 34->29 over 5 frames, with the same region
-        # supporting 80+ after re-init).  20 rides through the dips;
-        # genuine failures still die fast (inliers collapse to ~0).
-        min_track_inliers=20,
+        # TRANSIENT dips: round-4 measurements show the hardest wall
+        # sections support ~20+-2 matches for a few frames (dips to
+        # 18-19, recovery to 25-40 the NEXT frame), so 20 still
+        # tripped once per run.  15 rides through; genuine failures
+        # still die fast (collapse to ~0-5) and the descriptor-
+        # verified lost-retry + the step-motion gate guard aliasing.
+        min_track_inliers=15,
         loop_closing=loop_closing,
     ))
     gt_by_fid = {}
