@@ -168,7 +168,7 @@ def relocalize_archive(
     scores = _archive_retrieval_scores(
         vocab, q_desc, q_valid, arc, arc.valid
     )
-    _, cand = jax.lax.top_k(scores, min(top_c, scores.shape[0]))
+    c_scores, cand = jax.lax.top_k(scores, min(top_c, scores.shape[0]))
 
     def try_candidate(a):
         c_valid = arc.feat_valid[a] & arc.pt_ok[a]
@@ -206,6 +206,12 @@ def relocalize_archive(
         return T_opt.params7(), jnp.sum(inlier)
 
     cand_T7, cand_inl = jax.vmap(try_candidate)(cand)
+    # Masked retrieval rows (score -1: invalid or wrong-epoch under the
+    # LOST-reloc epoch filter) must never win on BA inliers alone —
+    # right after a reset every candidate is old-epoch and a bare
+    # inlier argmax would teleport the camera into the old epoch's
+    # frame without the Sim(3) merge bridge.
+    cand_inl = jnp.where(c_scores >= 0, cand_inl, 0)
     best_c = jnp.argmax(cand_inl)
     n_inl = cand_inl[best_c]
     return RelocResult(
@@ -250,6 +256,9 @@ class LoopResult(NamedTuple):
                             # (current local metric / loop-KF metric;
                             # 1.0 where unobservable — active-window
                             # loops share one landmark array)
+    n_inl: jnp.ndarray = 0  # winning candidate's pose-BA inlier count
+                            # (diagnostics; plain-int default so the
+                            # class body never touches the backend)
 
 
 def detect_loop(
@@ -325,7 +334,7 @@ def detect_loop(
     T_loop = T_opt.compose(SE3.from_params7(kf_pose7[best]).inverse())
     return LoopResult(
         found=found, loop_kf=best, T_loop7=T_loop.params7(),
-        scale=jnp.asarray(1.0, q_px.dtype),
+        scale=jnp.asarray(1.0, q_px.dtype), n_inl=n_inl,
     )
 
 
@@ -465,7 +474,7 @@ def detect_loop_archive(
     found = n_inl >= min_inliers
     return LoopResult(
         found=found, loop_kf=cand[best_c], T_loop7=cand_T7[best_c],
-        scale=cand_scale[best_c],
+        scale=cand_scale[best_c], n_inl=n_inl,
     )
 
 

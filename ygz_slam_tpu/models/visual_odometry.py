@@ -2157,8 +2157,7 @@ class VisualOdometry:
                      "dt=%.4f dr=%.4f ds=%.4f -> %s",
                      int(self.server.state.kf_id[slot]),
                      int(self.archive.frame_ids()[int(lp.loop_kf)]),
-                     int(lp.found) and int(getattr(lp, 'n_inl', 0) or 0)
-                     or -1,
+                     int(lp.n_inl),
                      dt, dr, ds, "CLOSE" if sig else "confirm-only")
         return sig
 

@@ -116,13 +116,20 @@ def archive_match_scores(
         hit = (best <= max_dist) & q_valid[None, :]
         return jnp.sum(hit, axis=-1).astype(jnp.int32)
 
-    if A % chunk == 0 and A > chunk:
-        n = A // chunk
+    if A > chunk:
+        # Pad A up to a chunk multiple so the memory-bounded lax.map
+        # path ALWAYS applies (padded rows are all-invalid and score
+        # 0); a silent fall-through for A % chunk != 0 would
+        # materialize the full [A, F, F] tensor (~277 MB at A=1056).
+        n = -(-A // chunk)
+        pad = n * chunk - A
+        d_p = jnp.pad(arc_desc, ((0, pad), (0, 0), (0, 0)))
+        v_p = jnp.pad(arc_valid, ((0, pad), (0, 0)))
         scores = jax.lax.map(
             score_rows,
-            (arc_desc.reshape(n, chunk, F, 8),
-             arc_valid.reshape(n, chunk, F)),
-        ).reshape(A)
+            (d_p.reshape(n, chunk, F, 8),
+             v_p.reshape(n, chunk, F)),
+        ).reshape(n * chunk)[:A]
     else:
         scores = score_rows((arc_desc, arc_valid))
     return scores
