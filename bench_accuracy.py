@@ -42,7 +42,7 @@ CAM = PinholeCamera.create(320.0, 320.0, 160.0, 120.0)
 SHAPE = (240, 320)
 
 
-def render_benchmark(n_frames, seed=0, horizon=None):
+def render_benchmark(n_frames, seed=0, horizon=None, photos=False):
     """`horizon` sets the trajectory's frame count (and so its
     per-frame motion); n_frames <= horizon renders a prefix — used by
     the fast regression-gate test, which cannot afford 1200 frames but
@@ -56,7 +56,14 @@ def render_benchmark(n_frames, seed=0, horizon=None):
     # radius 1.8 keeps every wall >=2.2 m away; measured per-frame
     # flow is uniform at ~3.0-4.4 px (median), inside the 3-level
     # sparse-align envelope, with no grazing sections at all.
-    scene = BoxScene(CAM, seed=seed, vignette=0.25)
+    tex = None
+    if photos:
+        # REAL pixels through the whole pipeline (VERDICT r4 #5): the
+        # six walls carry the reference tree's DBoW3 demo photographs
+        # (mirror-tiled to 2048^2) instead of procedural textures.
+        from ygz_slam_tpu.utils.synthetic import photo_textures
+        tex = photo_textures(tex_size=2048)
+    scene = BoxScene(CAM, seed=seed, vignette=0.25, textures=tex)
     poses = loop_trajectory(horizon or n_frames, radius=1.8, laps=2.2,
                             seed=seed, face="out")[:n_frames]
     for k, T in enumerate(poses):
@@ -66,7 +73,7 @@ def render_benchmark(n_frames, seed=0, horizon=None):
 
 
 def run(n_frames, loop_closing=True, seed=0, log_every=100,
-        horizon=None, n_levels=3):
+        horizon=None, n_levels=3, photos=False):
     # Operating point: at the default 2000 frames/1.08 laps the
     # camera moves ~0.3 m/s at 30 fps (max flow ~4 px/frame at the
     # nearest-wall approach) — inside the 3-level sparse-align
@@ -95,7 +102,7 @@ def run(n_frames, loop_closing=True, seed=0, log_every=100,
     n_good = 0
     last_status = None
     events = []
-    for k, T, img in render_benchmark(n_frames, seed, horizon):
+    for k, T, img in render_benchmark(n_frames, seed, horizon, photos):
         gt_by_fid[k] = T
         r = vo.add_frame(img, timestamp=float(k))
         n_good += r.status == Status.GOOD
@@ -129,6 +136,17 @@ def run(n_frames, loop_closing=True, seed=0, log_every=100,
     s_align, _, _ = traj.umeyama_align(est_c, gt_c, with_scale=True)
     est_m = [SE3(e.R, e.t * s_align) for e in est]
     rpe_t, rpe_r = traj.rpe_rmse(est_m, gt, delta=1)
+    # ODOMETRIC export (corrected=False): pose-graph corrections trade
+    # local smoothness for global consistency; users take the
+    # corrected trajectory for ATE and the odometric one for RPE
+    # (VERDICT r4 #8).  Same frame set as `out`.
+    raw = dict(vo.trajectory_poses(corrected=False))
+    est_raw = [SE3.from_params7(jnp.asarray(raw[float(f)]))
+               for f in fids if float(f) in raw]
+    est_raw_c = traj.camera_centers(est_raw)
+    s_raw, _, _ = traj.umeyama_align(est_raw_c, gt_c, with_scale=True)
+    est_raw_m = [SE3(e.R, e.t * s_raw) for e in est_raw]
+    rpe_t_raw, rpe_r_raw = traj.rpe_rmse(est_raw_m, gt, delta=1)
     # Per-SEGMENT ATE: a hard-reset re-initializes the world frame
     # and scale, so whole-run Sim3 alignment across a reset measures
     # the (arbitrary) frame jump, not estimation quality.  Standard
@@ -158,6 +176,8 @@ def run(n_frames, loop_closing=True, seed=0, log_every=100,
         n_segments=max(len(seg_ates), 1),
         rpe_trans=float(rpe_t),
         rpe_rot=float(rpe_r),
+        rpe_trans_odometric=float(rpe_t_raw),
+        rpe_rot_odometric=float(rpe_r_raw),
         keyframes=len(vo.server.kf_used) + vo.archive.count,
         loops_closed=int(vo.stats.get("loops_closed_global", 0)
                          + vo.stats.get("loops_closed_active", 0)),
@@ -178,12 +198,15 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--no-loop", action="store_true",
                     help="ablation: disable loop closing")
+    ap.add_argument("--photos", action="store_true",
+                    help="photo-textured walls (DBoW3 demo images)")
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()
     res = run(args.frames, loop_closing=not args.no_loop, seed=args.seed,
               log_every=0 if args.json_only else 100,
-              horizon=args.horizon)
+              horizon=args.horizon, photos=args.photos)
     res["loop_closing"] = not args.no_loop
+    res["photo_textures"] = args.photos
     print(json.dumps(res))
 
 

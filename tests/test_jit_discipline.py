@@ -62,6 +62,56 @@ def test_fixed_shapes_across_map_lifecycle():
     assert vo.stats["keyframes"] >= 4  # lifecycle actually exercised
 
 
+def test_archive_growth_no_retrace_after_warmup():
+    """Round-5 (VERDICT #1a): after System/VO warmup, archive GROWTH
+    across capacity buckets (16 -> 32 -> 64 -> 128 rows) must trigger
+    ZERO new traces of the archive loop/reloc programs — each first-
+    hit bucket pays a full XLA compile (minutes over the real-TPU
+    remote-compile relay), which must never land on a user-visible
+    step."""
+    import jax.numpy as jnp
+
+    vo = VisualOdometry(CAM, VOOptions(**VO_OPTS))
+    assert vo.vocab is not None and vo.archive is not None
+    vo.warmup_archive(128)
+    n_loop = vo._jit_loop_arc._cache_size()
+    n_reloc = vo._jit_reloc_arc._cache_size()
+    assert n_loop >= 4 and n_reloc >= 4  # all four buckets compiled
+    F = vo.o.map_F
+    rng = np.random.default_rng(0)
+    qd = jnp.asarray(
+        rng.integers(0, 2**32, (F, 8), dtype=np.uint64).astype(np.uint32)
+    )
+    qpx = jnp.asarray(rng.uniform(0, 100, (F, 2)).astype(np.float32))
+    qv = jnp.ones((F,), bool)
+    qa = jnp.zeros((F,), jnp.float32)
+    for i in range(100):
+        vo.archive.append(
+            i, np.asarray([1, 0, 0, 0, 0, 0, 0], np.float32),
+            np.zeros(vo.archive.W, np.float32),
+            np.full(F, -1, np.int32),
+            rng.integers(0, 2**32, (F, 8), dtype=np.uint64)
+            .astype(np.uint32),
+            rng.uniform(0, 100, (F, 2)).astype(np.float32),
+            np.ones(F, bool),
+            rng.normal(size=(F, 3)).astype(np.float32),
+            np.ones(F, bool),
+        )
+        if vo.archive.count in (10, 17, 33, 65, 100):
+            arc = vo.archive.device_view()
+            vo._jit_loop_arc(
+                jnp.asarray(0), jnp.asarray(1000), vo.kf_bow,
+                vo.kf_nodes, vo.server.state, arc,
+            )
+            vo._jit_reloc_arc(qd, qpx, qv, qa, arc)
+    assert vo._jit_loop_arc._cache_size() == n_loop, (
+        "archive growth retraced the loop program after warmup"
+    )
+    assert vo._jit_reloc_arc._cache_size() == n_reloc, (
+        "archive growth retraced the reloc program after warmup"
+    )
+
+
 def test_async_mapping_concurrent_reads_are_consistent():
     n = 40
     _, _, imgs = render_sequence(n)

