@@ -62,6 +62,64 @@ def test_fixed_shapes_across_map_lifecycle():
     assert vo.stats["keyframes"] >= 4  # lifecycle actually exercised
 
 
+def test_keyframe_cycle_sync_dispatch_budget():
+    """Round-5 (VERDICT #1b): a steady-state keyframe insertion must
+    add exactly ONE device program (_jit_kf_cycle) to the frame's
+    synchronous path — every other keyframe-rate program runs on the
+    async mapping worker.  Counts actual jit calls on the main thread
+    (a per-dispatch ~26 ms tunnel round trip is the product-surface
+    cost VERDICT r4 #1 targets)."""
+    import threading
+
+    from ygz_slam_tpu.models import VOOptions as _VOOptions
+
+    vo = VisualOdometry(CAM, _VOOptions(
+        **VO_OPTS, async_mapping=True, map_K=5,
+        # Culling (on the async worker) would trim the window back
+        # below capacity between insertions; pin the window full so
+        # every later keyframe exercises the insert-time eviction.
+        kf_cull_min_window=5,
+    ))
+    main_tid = threading.get_ident()
+    rec = []
+    for name in [a for a in dir(vo) if a.startswith("_jit_")]:
+        fn = getattr(vo, name)
+        if not callable(fn):
+            continue
+
+        def mk(fn, name):
+            def wrapped(*a, **k):
+                if threading.get_ident() == main_tid:
+                    rec.append(name)
+                return fn(*a, **k)
+            return wrapped
+        setattr(vo, name, mk(fn, name))
+    _, _, imgs = render_sequence(45)
+    normal_calls, kf_calls = [], []
+    for k, img in enumerate(imgs):
+        kf_before = vo.stats["keyframes"]
+        window_full = len(vo.server.kf_used) >= vo.o.map_K
+        good_before = vo.status is Status.GOOD
+        rec.clear()
+        vo.add_frame(img, float(k))
+        calls = list(rec)
+        if not good_before:
+            continue  # init frames take their own path
+        if vo.stats["keyframes"] > kf_before:
+            if window_full:
+                kf_calls.append(calls)
+        else:
+            normal_calls.append(calls)
+    assert kf_calls, "no steady-state (evicting) keyframe cycles ran"
+    per_frame = max(len(c) for c in normal_calls)
+    for calls in kf_calls:
+        extra = [c for c in calls if c == "_jit_kf_cycle"]
+        assert len(extra) == 1, calls
+        # The whole keyframe cycle adds exactly one sync dispatch on
+        # top of the ordinary per-frame set.
+        assert len(calls) <= per_frame + 1, (calls, per_frame)
+
+
 def test_archive_growth_no_retrace_after_warmup():
     """Round-5 (VERDICT #1a): after System/VO warmup, archive GROWTH
     across capacity buckets (16 -> 32 -> 64 -> 128 rows) must trigger

@@ -1389,6 +1389,10 @@ class VisualOdometry:
         self.prev_obs_px = jnp.zeros((L, 2), jnp.float32).at[rows].set(feats.px)
         self.velocity = SE3.identity()
         self.last_kf_slot = slot0
+        self._last_kf_fid = self.frame_id
+        self._last_kf_pose7 = np.asarray(
+            srv.state.kf_pose7[slot0], np.float32
+        )
         self.frames_since_kf = 0
         self.status = Status.GOOD
         self._refresh_semidense(pyr, slot0)
@@ -1510,6 +1514,10 @@ class VisualOdometry:
         self.prev_obs_px = obs
         self.velocity = SE3.identity()
         self.last_kf_slot = slot1
+        self._last_kf_fid = self.frame_id
+        self._last_kf_pose7 = np.asarray(
+            srv.state.kf_pose7[slot1], np.float32
+        )
         self.frames_since_kf = 0
         self._refresh_semidense(pyr, slot1)
 
@@ -1606,14 +1614,20 @@ class VisualOdometry:
 
     def _need_keyframe(self, T_cw) -> bool:
         """NeedNewKeyFrame (:304-321): >= min frames since the last KF
-        AND motion beyond rotation/translation thresholds."""
+        AND motion beyond rotation/translation thresholds.
+
+        Computed on HOST from the cached keyframe pose (np_se3.log6):
+        the eager device version cost 6-8 per-frame dispatches on the
+        per-frame path (round-5 dispatch audit)."""
         o = self.o
         if self.frames_since_kf < o.kf_min_frames:
             return False
-        T_kf = self.server.state.kf_pose(self.last_kf_slot)
-        delta = se3m.log(T_cw.compose(T_kf.inverse()))
-        trans = float(jnp.linalg.norm(delta[:3]))
-        rot = float(jnp.linalg.norm(delta[3:]))
+        rel7 = np_se3.relative7(
+            np.asarray(T_cw.params7()), self._last_kf_pose7
+        )
+        delta = np_se3.log6(rel7)
+        trans = float(np.linalg.norm(delta[:3]))
+        rot = float(np.linalg.norm(delta[3:]))
         return rot > o.kf_max_rot or trans > o.kf_max_trans
 
     def _insert_keyframe(self, pyr, T_cw, tm):

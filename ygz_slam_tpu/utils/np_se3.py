@@ -90,3 +90,36 @@ def inverse7(a: np.ndarray) -> np.ndarray:
 def relative7(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """params7 of A @ B^-1 (the pose of A relative to B); batched."""
     return compose7(a, inverse7(b))
+
+
+def log6(p: np.ndarray) -> np.ndarray:
+    """SE(3) log of a single params7 pose -> [6] (trans, rot) twist —
+    host mirror of geometry.se3.log so keyframe-need gating costs zero
+    device dispatches on the per-frame path."""
+    R, t = params7_to_Rt(np.asarray(p, np.float64))
+    cos = np.clip((np.trace(R) - 1.0) / 2.0, -1.0, 1.0)
+    th = float(np.arccos(cos))
+    vee = 0.5 * np.asarray(
+        [R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]]
+    )
+    if th < 1e-7:
+        w = vee
+        Vinv = np.eye(3) - 0.5 * _hat(w)
+    else:
+        w = th / np.sin(th) * vee
+        W = _hat(w)
+        # V^{-1} = I - W/2 + (1/th^2)(1 - th sin th / (2 (1-cos th))) W^2
+        coef = (1.0 - th * np.sin(th) / (2.0 * (1.0 - np.cos(th)))) / (
+            th * th
+        )
+        Vinv = np.eye(3) - 0.5 * W + coef * (W @ W)
+    v = Vinv @ t
+    return np.concatenate([v, w]).astype(np.float64)
+
+
+def _hat(w: np.ndarray) -> np.ndarray:
+    return np.asarray([
+        [0.0, -w[2], w[1]],
+        [w[2], 0.0, -w[0]],
+        [-w[1], w[0], 0.0],
+    ])
