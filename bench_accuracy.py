@@ -90,11 +90,14 @@ def run(n_frames, loop_closing=True, seed=0, log_every=100,
         # own gate is a config value, LocalMapping.h:19) trips on
         # TRANSIENT dips: round-4 measurements show the hardest wall
         # sections support ~20+-2 matches for a few frames (dips to
-        # 18-19, recovery to 25-40 the NEXT frame), so 20 still
-        # tripped once per run.  15 rides through; genuine failures
-        # still die fast (collapse to ~0-5) and the descriptor-
-        # verified lost-retry + the step-motion gate guard aliasing.
-        min_track_inliers=15,
+        # 18-19, recovery to 25-40 the NEXT frame).  Round-5: the gate
+        # goes back to 20 and the HYSTERESIS (track_confirm_frames=2,
+        # hard floor 10) rides those single-frame transients while
+        # genuine failures (collapse to ~0-9) still die immediately —
+        # round 4 had dropped the gate itself to 15, which let 10-14-
+        # inlier frames steer the map; hysteresis separates the two
+        # regimes instead of splitting the difference.
+        min_track_inliers=20,
         loop_closing=loop_closing,
     ))
     gt_by_fid = {}

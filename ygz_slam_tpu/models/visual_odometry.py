@@ -517,7 +517,7 @@ class VisualOdometry:
                 fsk = fsk + 1
                 delta = se3m.log(
                     T_cw.compose(SE3.from_params7(T_kf7).inverse()))
-                kf_needed = (fsk >= o.kf_min_frames) & (
+                kf_needed = (fsk >= o.kf_min_frames) & (~low) & (
                     (jnp.linalg.norm(delta[3:]) > o.kf_max_rot)
                     | (jnp.linalg.norm(delta[:3]) > o.kf_max_trans)
                 )
@@ -741,6 +741,85 @@ class VisualOdometry:
             mstate = ms.update_covisibility(mstate)
             return mstate, chi2
 
+        def _kf_redundancy_device(m, min_obs: int = 4, maxlvl: int = 8):
+            """[K] scale-aware keyframe-redundancy scores — device
+            mirror of native ms_kf_redundancy_scale (one scatter-add +
+            level prefix instead of a host fetch of three [K,F]
+            arrays per mapping pass)."""
+            K, F = m.feat_valid.shape
+            L = m.pt_pos.shape[0]
+            p = m.feat_point.reshape(-1)
+            okf = m.feat_valid.reshape(-1) & (p >= 0) & (p < L)
+            psafe = jnp.clip(p, 0, L - 1)
+            lvl = jnp.clip(m.feat_level.reshape(-1), 0, maxlvl - 1)
+            counts = jnp.zeros((L, maxlvl), jnp.int32).at[
+                psafe, lvl
+            ].add(okf.astype(jnp.int32))
+            cum = jnp.cumsum(counts, axis=1)
+            l1 = jnp.clip(m.feat_level.reshape(-1) + 1, 0, maxlvl - 1)
+            red = okf & (cum[psafe, l1] >= min_obs)
+            linked = okf.reshape(K, F).sum(1)
+            redundant = red.reshape(K, F).sum(1)
+            return jnp.where(
+                linked > 0,
+                redundant.astype(jnp.float32)
+                / jnp.maximum(linked, 1).astype(jnp.float32),
+                0.0,
+            )
+
+        @jax.jit
+        def _map_pass(mstate, slot, kf_bow, kf_nodes, fixed,
+                      enable_loop):
+            """The ENTIRE keyframe mapping pass as ONE device program
+            (round-5, VERDICT #1b): covisibility/orphan refresh,
+            active-window loop detection + closure, local BA, map-
+            point culling and keyframe-redundancy scoring.  The
+            round-4 pass dispatched refresh + loop + refresh + BA +
+            a 3-array cull fetch (~5 round trips x ~26 ms over the
+            serving tunnel) per keyframe.  Archive (long-range) loop
+            detection keeps its own dispatch — it runs conditionally
+            at the host's cooldown/significance discipline."""
+            mstate = ms.update_covisibility(mstate)
+            orphaned = mstate.pt_valid & (mstate.pt_obs == 0)
+            mstate = mstate._replace(
+                pt_valid=mstate.pt_valid & (~orphaned)
+            )
+            if have_vocab:
+                lp = reloc.detect_loop(
+                    vocab, cam, slot, kf_bow, mstate.kf_valid,
+                    mstate.kf_pose7, mstate.cov_weight,
+                    mstate.feat_desc.reshape(-1, 8),
+                    kf_nodes.reshape(-1),
+                    mstate.feat_px.reshape(-1, 2),
+                    mstate.feat_point.reshape(-1),
+                    mstate.feat_valid.reshape(-1),
+                    mstate.pt_pos, mstate.pt_valid,
+                    min_inliers=o.loop_min_inliers,
+                    feat_angle_flat=mstate.feat_angle.reshape(-1),
+                )
+                lp = lp._replace(found=lp.found & enable_loop)
+                pose7, pts, _chi2 = reloc.close_loop(
+                    mstate.kf_pose7, mstate.kf_valid,
+                    mstate.cov_weight, mstate.pt_pos, mstate.pt_valid,
+                    mstate.pt_first_kf, slot, lp,
+                    feat_point=mstate.feat_point,
+                    feat_valid=mstate.feat_valid,
+                )
+                mstate = mstate._replace(
+                    kf_pose7=jnp.where(lp.found, pose7,
+                                       mstate.kf_pose7),
+                    pt_pos=jnp.where(lp.found, pts, mstate.pt_pos),
+                )
+            else:
+                lp = jnp.zeros((), bool)  # placeholder "found" flag
+            mstate, chi2 = _mapping(mstate, fixed)
+            scores = _kf_redundancy_device(mstate)
+            found = lp.found if have_vocab else lp
+            return (mstate, found, scores, mstate.kf_pose7,
+                    mstate.kf_id)
+
+        self._jit_map_pass = _map_pass
+
         if self.vocab is not None:
             vocab = self.vocab
 
@@ -766,29 +845,6 @@ class VisualOdometry:
                     top_c=o.reloc_top_c,
                     use_pnp=o.reloc_use_pnp,
                 )
-
-            @jax.jit
-            def _loop(new_slot, kf_bow, kf_nodes, mstate):
-                lp = reloc.detect_loop(
-                    vocab, cam, new_slot, kf_bow, mstate.kf_valid,
-                    mstate.kf_pose7, mstate.cov_weight,
-                    mstate.feat_desc.reshape(-1, 8),
-                    kf_nodes.reshape(-1),
-                    mstate.feat_px.reshape(-1, 2),
-                    mstate.feat_point.reshape(-1),
-                    mstate.feat_valid.reshape(-1),
-                    mstate.pt_pos, mstate.pt_valid,
-                    min_inliers=o.loop_min_inliers,
-                    feat_angle_flat=mstate.feat_angle.reshape(-1),
-                )
-                pose7, pts, chi2 = reloc.close_loop(
-                    mstate.kf_pose7, mstate.kf_valid, mstate.cov_weight,
-                    mstate.pt_pos, mstate.pt_valid, mstate.pt_first_kf,
-                    new_slot, lp,
-                    feat_point=mstate.feat_point,
-                    feat_valid=mstate.feat_valid,
-                )
-                return lp, mstate._replace(kf_pose7=pose7, pt_pos=pts)
 
             @jax.jit
             def _reloc_arc(q_desc, q_px, q_valid, q_angle, arc):
@@ -821,7 +877,6 @@ class VisualOdometry:
             self._jit_loop_arc = _loop_arc
             self._jit_kf_bow = _kf_bow
             self._jit_reloc = _reloc
-            self._jit_loop = _loop
 
         Fl = o.map_F // 2
         Fn = o.map_F - Fl
@@ -1568,7 +1623,8 @@ class VisualOdometry:
                     pt_found=self.server.state.pt_found
                     + tm2.found.astype(jnp.int32),
                 )
-        if n_inl < o.min_track_inliers:
+        marginal = n_inl < o.min_track_inliers
+        if marginal:
             # Hysteresis (round-5): the gate's metric has a ±1-2 count
             # noise floor, so a SINGLE sub-gate frame is tracked
             # through (the pose is still the best available estimate);
@@ -1602,7 +1658,12 @@ class VisualOdometry:
         self.prev_found = tm.found
         self.prev_obs_px = tm.obs_px
         self.frames_since_kf += 1
-        if self._need_keyframe(T_cw):
+        # A frame tracked through on hysteresis must never become a
+        # keyframe: its pose sits on the gate's noise floor, and a
+        # keyframe inserted there bakes the error into the map
+        # (measured round-5: marginal-pose keyframes turned transient
+        # dips into resets).
+        if not marginal and self._need_keyframe(T_cw):
             self._insert_keyframe(pyr, T_cw, tm)
         return TrackResult(Status.GOOD, T_cw, n_inl)
 
@@ -1898,26 +1959,48 @@ class VisualOdometry:
         safe against the tracking path under the _join_mapping
         discipline; returns the keyframe's refined pose7 (np)."""
         o, srv = self.o, self.server
-        # --- loop closing (LoopClosing placeholder, loop_closing.h) ---
+        # --- ONE fused device pass: covis refresh + active-window
+        # loop detect/close + local BA + culling + redundancy scores
+        # (round-5; the archive loop below keeps its own conditional
+        # dispatch).  NOTE the round-5 ordering change: an ARCHIVE
+        # loop closure now applies after this pass's local BA rather
+        # than before it — the global pose-graph correction lands on
+        # BA-refined poses; the next keyframe's BA re-smooths either
+        # way.
+        enable_loop = (self.vocab is not None and o.loop_closing
+                       and len(srv.kf_used) >= 4)
+        fixed = np.zeros(o.map_K, bool)
+        oldest = srv.kf_used[0]
+        fixed[oldest] = True
+        if len(srv.kf_used) > 1:
+            fixed[srv.kf_used[1]] = True
+        if self.vocab is not None:
+            (srv.state, found_dev, scores_dev, pose7_dev,
+             id_dev) = self._jit_map_pass(
+                srv.state, jnp.asarray(slot), self.kf_bow,
+                self.kf_nodes, jnp.asarray(fixed), enable_loop,
+            )
+        else:
+            (srv.state, found_dev, scores_dev, pose7_dev,
+             id_dev) = self._jit_map_pass(
+                srv.state, jnp.asarray(slot),
+                jnp.zeros((o.map_K, 1), jnp.float32),
+                jnp.full((o.map_K, o.map_F), -1, jnp.int32),
+                jnp.asarray(fixed), enable_loop,
+            )
+        lp_found, scores, pose7_np, id_np = jax.device_get(
+            (found_dev, scores_dev, pose7_dev, id_dev)
+        )
+        closed = bool(lp_found)
+        if closed:
+            self.stats["loops_closed_active"] += 1
         if self.vocab is not None and o.loop_closing:
-            closed = False
-            if len(srv.kf_used) >= 4:
-                srv.refresh_covisibility()
-                lp, new_state = self._jit_loop(
-                    jnp.asarray(slot), self.kf_bow, self.kf_nodes,
-                    srv.state,
-                )
-                if bool(lp.found):
-                    srv.state = new_state
-                    closed = True
-                    self.stats["loops_closed_active"] += 1
             cooled = (kf_fid - getattr(self, "_last_loop_fid", -10**9)
                       >= o.loop_cooldown_frames)
             if (not closed and self.archive is not None
                     and self.archive.count > 0 and cooled):
                 # Long-range loops against ARCHIVED keyframes: the
                 # capability the fixed window alone cannot provide.
-                srv.refresh_covisibility()
                 lpa = self._jit_loop_arc(
                     jnp.asarray(slot), jnp.asarray(kf_fid),
                     self.kf_bow, self.kf_nodes, srv.state,
@@ -1946,19 +2029,19 @@ class VisualOdometry:
                         # unconditional closures DOUBLED benchmark
                         # ATE).  Count it as confirmation.
                         self.stats["loops_confirmed"] += 1
-        # --- mapping pass: covisibility + local BA + culling ---
-        fixed = jnp.zeros(o.map_K, bool)
-        oldest = self.server.kf_used[0]
-        fixed = fixed.at[oldest].set(True)
-        if len(self.server.kf_used) > 1:
-            fixed = fixed.at[self.server.kf_used[1]].set(True)
-        srv.refresh_covisibility()
-        srv.state, _ = self._jit_mapping(srv.state, fixed)
-        self._cull_keyframes(protect={slot, oldest})
+                    if self._last_loop_fid == kf_fid:
+                        # An applied correction (merge or global
+                        # closure) rewrote the active poses AFTER the
+                        # fused pass's snapshot; refresh the log
+                        # source (rare — gated closures fire ~30x per
+                        # 2000-frame run).
+                        pose7_np = np.asarray(srv.state.kf_pose7)
+                        id_np = np.asarray(srv.state.kf_id)
+        # --- keyframe culling from the in-pass redundancy scores ---
+        self._cull_keyframes(protect={slot, oldest}, scores=scores)
         # Refresh the host-side keyframe pose log (trajectory
-        # anchoring) with the BA/loop-refined active poses.
-        pose7_np = np.asarray(srv.state.kf_pose7)
-        id_np = np.asarray(srv.state.kf_id)
+        # anchoring) with the BA/loop-refined active poses (fetched
+        # in the fused pass's device_get).
         for s in srv.kf_used:
             fid_s = int(id_np[s])
             self.kf_pose_log[fid_s] = pose7_np[s].copy()
@@ -2099,30 +2182,38 @@ class VisualOdometry:
         )
         self.seeds = None
 
-    def _cull_keyframes(self, protect, redundancy_th: float = 0.9):
+    def _cull_keyframes(self, protect, redundancy_th: float = 0.9,
+                        scores=None):
         """KeyFrameCulling (LocalMapping.cpp:579-618): evict keyframes
-        >90% of whose landmarks are seen by >=3 other keyframes.  Uses
-        the native redundancy scorer; keeps a minimum window of
-        `kf_cull_min_window` keyframes."""
-        from .. import native
+        >90% of whose landmarks are seen by >=3 other keyframes.
+        Keeps a minimum window of `kf_cull_min_window` keyframes.
 
+        `scores`: precomputed [K] redundancy scores (the fused mapping
+        pass computes them on device — zero extra fetches); falls back
+        to the native host scorer when absent (sensor paths)."""
         srv = self.server
         min_win = self.o.kf_cull_min_window
         if len(srv.kf_used) <= min_win:
             return
-        m = srv.state
-        # Scale-aware rule: only finer-or-equal-level observations
-        # make an observation redundant (LocalMapping.cpp:592-607).
-        scores = native.kf_redundancy_scale(
-            np.asarray(m.feat_point), np.asarray(m.feat_valid),
-            np.asarray(m.feat_level), L=self.o.map_L, min_obs=4,
-        )
+        if scores is None:
+            from .. import native
+
+            m = srv.state
+            # Scale-aware rule: only finer-or-equal-level observations
+            # make an observation redundant (LocalMapping.cpp:592-607).
+            scores = native.kf_redundancy_scale(
+                np.asarray(m.feat_point), np.asarray(m.feat_valid),
+                np.asarray(m.feat_level), L=self.o.map_L, min_obs=4,
+            )
+        evicted = False
         for slot in list(srv.kf_used):
             if slot in protect or len(srv.kf_used) <= min_win:
                 continue
             if scores[slot] > redundancy_th:
                 srv.evict_kf(slot)
-        srv.refresh_covisibility()
+                evicted = True
+        if evicted:
+            srv.refresh_covisibility()
 
     def _handle_lost(self, pyr):
         """Relocalization TODO in the reference (:101-104); here: retry
