@@ -553,6 +553,26 @@ class VisualOdometry:
         self._jit_track_chunk = jax.jit(_track_chunk)
         self._jit_accept_counters = _accept_counters
 
+        @jax.jit
+        def _track_with_seeds(prev_pyr, pyr, prev_T7, T_pred7, mstate,
+                              kf_images, found, obs, seeds, seed_slot):
+            """Per-frame tracking + depth-filter seed refinement in
+            ONE dispatch (round-5: the latency path paid two — the
+            chunked scan already folds both; the seed keyframe's image
+            and pose are sliced in-program to avoid eager host ops)."""
+            tm, mstate, ok = _track(
+                prev_pyr, pyr, prev_T7, T_pred7, mstate, kf_images,
+                found, obs,
+            )
+            T_seed = SE3.from_params7(mstate.kf_pose7[seed_slot])
+            T_cur_ref = tm.T_cw.compose(T_seed.inverse())
+            seeds = dfilt.update_seeds_from_frame(
+                seeds, kf_images[seed_slot], pyr[0], cam, T_cur_ref,
+            )
+            return tm, mstate, ok, seeds
+
+        self._jit_track_with_seeds = _track_with_seeds
+
         if o.vo_type is VOType.SPARSE_ORB:
             from . import orb_tracking as orbtrack
 
@@ -1603,7 +1623,22 @@ class VisualOdometry:
     def _track_frame(self, pyr):
         o = self.o
         T_pred = self.velocity.compose(self.prev_T_cw)
-        tm, new_state, align_ok = self._run_tracker(pyr, T_pred)
+        fused_seeds = (o.vo_type is VOType.SPARSE_DIRECT
+                       and self.seeds is not None
+                       and o.use_depth_filter)
+        new_seeds = None
+        if fused_seeds:
+            st = self.server.state
+            tm, new_state, align_ok, new_seeds = (
+                self._jit_track_with_seeds(
+                    self.prev_pyr, pyr, self.prev_T_cw.params7(),
+                    T_pred.params7(), st, self.kf_images,
+                    self.prev_found, self.prev_obs_px, self.seeds,
+                    jnp.asarray(self.seed_kf_slot, jnp.int32),
+                )
+            )
+        else:
+            tm, new_state, align_ok = self._run_tracker(pyr, T_pred)
         n_inl = int(tm.n_inliers)
         if (n_inl < o.min_track_inliers
                 and o.vo_type is VOType.SPARSE_ORB
@@ -1643,8 +1678,13 @@ class VisualOdometry:
         T_cw = tm.T_cw
         # Depth-filter pass: refine seeds of the last keyframe's
         # depthless features against this frame (DepthFilter::
-        # UpdateSeeds was meant to run per ordinary frame).
-        if self.seeds is not None and self.o.use_depth_filter:
+        # UpdateSeeds was meant to run per ordinary frame).  The
+        # SPARSE_DIRECT path folded it into the tracking dispatch
+        # (_jit_track_with_seeds); other VO types keep the separate
+        # dispatch.
+        if fused_seeds:
+            self.seeds = new_seeds
+        elif self.seeds is not None and self.o.use_depth_filter:
             T_kf = self.server.state.kf_pose(self.seed_kf_slot)
             T_cur_ref = T_cw.compose(T_kf.inverse())
             self.seeds = self._jit_update_seeds(
