@@ -28,7 +28,7 @@ def main():
 
     paths = sorted(glob.glob(logdir + "/**/*.xplane.pb", recursive=True))
     print("xplane files:", paths, file=sys.stderr)
-    from tensorboard_plugin_profile.protobuf import xplane_pb2
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     tot = defaultdict(float)
     cnt = defaultdict(int)

@@ -88,16 +88,23 @@ def run(n_frames, loop_closing=True, seed=0, log_every=100,
         n_levels=n_levels,
         # The default tracking-lost gate (30 inliers; the reference's
         # own gate is a config value, LocalMapping.h:19) trips on
-        # TRANSIENT dips: round-4 measurements show the hardest wall
-        # sections support ~20+-2 matches for a few frames (dips to
-        # 18-19, recovery to 25-40 the NEXT frame).  Round-5: the gate
-        # goes back to 20 and the HYSTERESIS (track_confirm_frames=2,
-        # hard floor 10) rides those single-frame transients while
-        # genuine failures (collapse to ~0-9) still die immediately —
-        # round 4 had dropped the gate itself to 15, which let 10-14-
-        # inlier frames steer the map; hysteresis separates the two
-        # regimes instead of splitting the difference.
-        min_track_inliers=20,
+        # TRANSIENT dips: the hardest wall sections support ~15-19
+        # matches for a few frames with next-frame recovery.  15 is
+        # the round-4-proven operating point; the round-5 hysteresis
+        # (track_confirm_frames=2, hard floor 7, descriptor-verified
+        # ride-through) absorbs single-frame dips BELOW it, and a
+        # gate-20 experiment showed sustained 15-19 sections must
+        # track, not coast (segment ATE tripled when they rode
+        # marginal status for dozens of frames).
+        min_track_inliers=15,
+        # Extended-LOST instead of reset: the recurring hard section
+        # (~frame 588 region) fails retries for ~12 frames; with the
+        # default 10-frame budget that is a RESET (new world frame,
+        # new scale, segment split).  40 frames of retry+reloc lets
+        # the camera move back into trackable texture and recover
+        # into the SAME map — one pose jump instead of a segment
+        # boundary.
+        lost_reset_frames=40,
         loop_closing=loop_closing,
     ))
     gt_by_fid = {}
@@ -184,6 +191,8 @@ def run(n_frames, loop_closing=True, seed=0, log_every=100,
         keyframes=len(vo.server.kf_used) + vo.archive.count,
         loops_closed=int(vo.stats.get("loops_closed_global", 0)
                          + vo.stats.get("loops_closed_active", 0)),
+        loops_confirmed=int(vo.stats.get("loops_confirmed", 0)),
+        maps_merged=int(vo.stats.get("maps_merged", 0)),
         wall_s=time.time() - t0,
         events=events[:40],
     )

@@ -123,15 +123,32 @@ def main():
     # Warm-up pass absorbs compiles (cached across runs in .jax_cache);
     # the recorded number is the second pass.
     _dt0, n_good0, _ = run_once()
-    device_s = None
+    dt, n_good, sysm = run_once()
+    device_s = n_traced = None
     if args.trace:
+        # Trace a steady-state SLICE only (a full-pass trace exceeds
+        # the 2 GB protobuf limit): fresh system, untraced lead-in
+        # through init + early keyframes, then a 300-frame traced
+        # window with keyframes, archive maintenance and loop
+        # detection all active.
+        import shutil
         logdir = "/tmp/jaxtrace_system"
+        shutil.rmtree(logdir, ignore_errors=True)
+        sys2 = System(camera=cam, sensor=Sensor.MONOCULAR, options=opts)
+        sys2.warmup()
+        lead = min(150, len(frames) // 2)
+        n_traced = min(300, len(frames) - lead)
+        sys2.track_monocular_chunk(
+            [frames[i] for i in range(lead)],
+            [float(i) for i in range(lead)], chunk=args.chunk)
         jax.profiler.start_trace(logdir)
-        dt, n_good, sysm = run_once()
+        sys2.track_monocular_chunk(
+            [frames[lead + i] for i in range(n_traced)],
+            [float(lead + i) for i in range(n_traced)],
+            chunk=args.chunk)
+        sys2.vo._join_mapping()
         jax.profiler.stop_trace()
         device_s = _device_busy_seconds(logdir)
-    else:
-        dt, n_good, sysm = run_once()
     fps = len(frames) / dt
     out = {
         "metric": "system_fps",
@@ -153,7 +170,8 @@ def main():
         # number (same method as the per-kernel budget in CLAUDE.md /
         # _bench_trace.py).
         out["device_busy_s"] = round(device_s, 3)
-        out["device_fps"] = round(len(frames) / device_s, 1)
+        out["device_fps"] = round(n_traced / device_s, 1)
+        out["traced_frames"] = n_traced
     print(json.dumps(out))
 
 
@@ -163,7 +181,7 @@ def _device_busy_seconds(logdir):
     within a line; lines duplicate views of the same stream)."""
     import glob
     from collections import defaultdict
-    from tensorboard_plugin_profile.protobuf import xplane_pb2
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     line_tot = defaultdict(float)
     for p in sorted(glob.glob(logdir + "/**/*.xplane.pb",
