@@ -176,9 +176,12 @@ def main():
 
 
 def _device_busy_seconds(logdir):
-    """Total device-busy seconds in the trace: per TPU plane, the
-    busiest op line's summed event durations (op streams don't overlap
-    within a line; lines duplicate views of the same stream)."""
+    """Total device-busy seconds in the trace: the TPU plane's
+    "XLA Modules" line (one event per module execution, durations are
+    on-device execution spans).  The "Async XLA Ops" line is NOT
+    usable — its spans include async dispatch waits (measured 158 s vs
+    20.6 s of module time on the same trace); the "XLA Ops" line
+    double-counts ops nested under overlapping views."""
     import glob
     from collections import defaultdict
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
@@ -193,8 +196,10 @@ def _device_busy_seconds(logdir):
             if "tpu" not in nm and "axon" not in nm:
                 continue
             for line in plane.lines:
+                if line.name != "XLA Modules":
+                    continue
                 s = sum(ev.duration_ps for ev in line.events) / 1e12
-                line_tot[(plane.name, line.name)] += s
+                line_tot[plane.name] += s
     return max(line_tot.values()) if line_tot else float("nan")
 
 

@@ -540,6 +540,31 @@ class VisualOdometry:
             )
 
             def body(carry, img):
+                done, inner = carry
+                # After the first keyframe/lost flag the host is going
+                # to truncate the chunk and discard every later slot's
+                # outputs — skip their compute entirely (lax.cond is a
+                # REAL branch on the TPU scalar core).  Without this,
+                # every cut chunk re-ran all `chunk` padded slots: the
+                # round-5 system trace measured 33 chunk executions x
+                # 64 slots for ~300 accepted frames (~7x device waste
+                # at keyframe-dense stream rates).
+                inner, ys = jax.lax.cond(
+                    done, _body_skip, _body_live, inner, img
+                )
+                (_T7, _v7, _inl, kf_needed, lost) = ys[:5]
+                return (done | kf_needed | lost, inner), ys
+
+            def _body_skip(inner, img):
+                (pyr_p, T7_p, vel7, mstate, found_p, obs_p, fsk,
+                 streak, seeds) = inner
+                ys = (T7_p, vel7, jnp.zeros((), jnp.int32),
+                      jnp.zeros((), bool), jnp.zeros((), bool),
+                      jnp.zeros_like(found_p),
+                      jnp.zeros_like(found_p), obs_p, streak, seeds)
+                return inner, ys
+
+            def _body_live(carry, img):
                 (pyr_p, T7_p, vel7, mstate, found_p, obs_p, fsk,
                  streak, seeds) = carry
                 pyr = fe.preprocess(img, o.n_levels)
@@ -579,9 +604,11 @@ class VisualOdometry:
                       tm.found, tm.candidate, tm.obs_px, streak, seeds)
                 return carry, ys
 
-            carry0 = (prev_pyr, prev_T7, vel7, mstate, prev_found,
-                      prev_obs_px, fsk, low_streak, seeds)
-            return jax.lax.scan(body, carry0, imgs)
+            carry0 = (jnp.zeros((), bool),
+                      (prev_pyr, prev_T7, vel7, mstate, prev_found,
+                       prev_obs_px, fsk, low_streak, seeds))
+            (done, inner), ys = jax.lax.scan(body, carry0, imgs)
+            return inner, ys
 
         @jax.jit
         def _accept_counters(mstate, cand, found, j):
